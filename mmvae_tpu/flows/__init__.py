@@ -1,0 +1,3 @@
+from .made import MADE, MaskedDense, build_masks  # noqa: F401
+from .layers import BatchNormFlow  # noqa: F401
+from .autoregressive import IAF, MAF  # noqa: F401

@@ -1,0 +1,18 @@
+"""Test config: force an 8-device virtual CPU mesh so multi-chip sharding
+paths are exercised without TPU hardware."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; tests must run on the virtual 8-device CPU mesh,
+# so override back before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,113 @@
+"""Flow correctness: autoregressive masks, invertibility, exact log-dets
+(checked against autodiff Jacobians)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmvae_tpu.flows import IAF, MAF, MADE, build_masks
+
+D = 6
+
+
+def _init(flow, key):
+    return flow.init(key, jnp.zeros((2, D)))
+
+
+def test_made_masks_match_reference_construction():
+    masks, out_mask = build_masks(5, [8, 8])
+    # hidden degrees: arange(h) % (D-1)
+    m_in = np.arange(5)
+    m_h = np.arange(8) % 4
+    np.testing.assert_array_equal(masks[0], (m_h[None, :] >= m_in[:, None]).astype(np.float32))
+    np.testing.assert_array_equal(out_mask, (m_h[:, None] < np.arange(5)[None, :]).astype(np.float32))
+
+
+def test_made_autoregressive_property():
+    """Output dim i must not depend on input dims >= i."""
+    made = MADE(features=D, hidden_sizes=(16, 16))
+    key = jax.random.PRNGKey(0)
+    v = made.init(key, jnp.zeros((1, D)))
+
+    def f(x):
+        mu, s = made.apply(v, x[None, :])
+        return jnp.concatenate([mu[0], s[0]])
+
+    jac = jax.jacfwd(f)(jnp.arange(D, dtype=jnp.float32))
+    jac_mu, jac_s = jac[:D], jac[D:]
+    for i in range(D):
+        assert np.all(np.asarray(jac_mu[i, i:]) == 0), f"mu_{i} depends on x_>= {i}"
+        assert np.all(np.asarray(jac_s[i, i:]) == 0)
+
+
+@pytest.mark.parametrize("flow_cls", [IAF, MAF])
+def test_roundtrip(flow_cls):
+    flow = flow_cls(features=D, n_made_blocks=2, n_hidden_in_made=2, hidden_size=32)
+    key = jax.random.PRNGKey(1)
+    v = _init(flow, key)
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, D))
+    z, ld_f = flow.apply(v, x, method="forward")
+    x2, ld_i = flow.apply(v, z, method="inverse")
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld_i), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("flow_cls", [IAF, MAF])
+def test_logdet_matches_jacobian(flow_cls):
+    flow = flow_cls(features=D, n_made_blocks=2, n_hidden_in_made=2, hidden_size=32)
+    v = _init(flow, jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (D,))
+
+    def fwd(x1):
+        z, _ = flow.apply(v, x1[None, :], method="forward")
+        return z[0]
+
+    jac = jax.jacfwd(fwd)(x)
+    _, ld = flow.apply(v, x[None, :], method="forward")
+    sign, logabsdet = np.linalg.slogdet(np.asarray(jac))
+    np.testing.assert_allclose(float(ld[0]), logabsdet, rtol=1e-4, atol=1e-4)
+
+
+def test_iaf_forward_equals_reference_loop():
+    """The unrolled autoregressive solve must match the reference's explicit
+    per-dim loop (iaf_model.py:60-72) run with the same MADE weights."""
+    flow = IAF(features=D, n_made_blocks=2, n_hidden_in_made=2, hidden_size=16)
+    v = _init(flow, jax.random.PRNGKey(5))
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (2, D)))
+
+    def made_apply(i, y):
+        mu, s = flow.apply(v, jnp.asarray(y), method=lambda m, yy: m.mades[i](yy))
+        return np.asarray(mu), np.asarray(s)
+
+    cur = x.copy()
+    ld_ref = np.zeros(2)
+    for blk in range(2):
+        y = np.zeros_like(cur)
+        for i in range(D):
+            mu, s = made_apply(blk, y.copy())
+            y[:, i] = (cur[:, i] - mu[:, i]) * np.exp(-s[:, i])
+            ld_ref += -s[:, i]
+        cur = y[:, ::-1].copy()  # flip after each block
+
+    z, ld = flow.apply(v, jnp.asarray(x), method="forward")
+    np.testing.assert_allclose(np.asarray(z), cur, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_vae_identity_flow():
+    from mmvae_tpu.models import UnimodalVAE
+    from mmvae_tpu.nets import MLPEncoder, MLPDecoder
+
+    vae = UnimodalVAE(
+        encoder=MLPEncoder(latent_dim=D),
+        decoder=MLPDecoder(latent_dim=D, output_shape=(1, 8, 8)),
+        latent_dim=D,
+    )
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 1, 8, 8))
+    v = vae.init({"params": key, "sample": key}, x)
+    out = vae.apply(v, x, rngs={"sample": key})
+    # no flow: z == z0, ldj == 0 (vae_model_adapted.py:126-131)
+    np.testing.assert_array_equal(np.asarray(out["z"]), np.asarray(out["z0"]))
+    assert np.all(np.asarray(out["log_abs_det_jac"]) == 0)
