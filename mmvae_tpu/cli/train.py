@@ -1,0 +1,73 @@
+"""Train entry point — the main.py equivalent.
+
+Usage: python -m mmvae_tpu.cli.train --config-path path/to/config.json
+Accepts the reference's JSON schema verbatim (main.py:25-35). Creates the
+same run-dir layout: ../experiments/<experiment>/<date>/<runId>/ with
+args.json, model checkpoints, losses history.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+from pathlib import Path
+from tempfile import mkdtemp
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Multi-Modal VAEs (TPU)")
+    parser.add_argument("--config-path", type=str, default="")
+    parser.add_argument("--experiments-dir", type=str, default="../experiments")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu)")
+    info = parser.parse_args(argv)
+
+    if info.platform:
+        jax.config.update("jax_platforms", info.platform)
+
+    from ..core.config import ExperimentConfig
+    from ..data import get_dataloaders
+    from ..models import registry
+    from ..parallel import make_mesh
+    from ..train import Trainer
+
+    cfg = ExperimentConfig.from_json(info.config_path)
+    np.random.seed(cfg.seed)
+
+    bundle = registry.build(cfg)
+    mesh = make_mesh(n_data=cfg.mesh_data, n_k=cfg.mesh_k)
+
+    run_id = datetime.datetime.now().isoformat()
+    experiment = cfg.experiment or bundle.model_name
+    exp_dir = Path(info.experiments_dir) / experiment / datetime.date.today().isoformat()
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    run_path = mkdtemp(prefix=run_id, dir=str(exp_dir))
+    print("Expt:", run_path)
+    with open(os.path.join(run_path, "args.json"), "w") as f:
+        json.dump(cfg.to_dict(), f)
+
+    kw = dict(batch_size=cfg.batch_size, data_path=cfg.data_path)
+    if cfg.len_train and bundle.dataset == "mnist_svhn":
+        kw["len_train"] = cfg.len_train
+    train_loader, test_loader, val_loader = get_dataloaders(bundle.dataset, **kw)
+    print(f"Train: {train_loader.num_examples}, Test: {test_loader.num_examples}, "
+          f"Val: {val_loader.num_examples}")
+
+    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh, run_path=run_path)
+    print(f"objective: {trainer.obj_name}")
+    state = trainer.fit(train_loader, val_loader, key=jax.random.PRNGKey(cfg.seed))
+
+    with open(os.path.join(run_path, "losses.json"), "w") as f:
+        json.dump(getattr(trainer, "_history", {}), f)
+    print("done; best checkpoints in", run_path)
+    return run_path
+
+
+if __name__ == "__main__":
+    main()

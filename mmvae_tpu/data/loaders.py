@@ -1,0 +1,310 @@
+"""Paired-dataset containers and batch iterators.
+
+Replaces the reference's torchnet ResampleDataset + TensorDataset +
+DataLoader stack (dataloaders.py): datasets are in-memory numpy arrays,
+pairing is applied as an index gather at construction, and iteration yields
+fixed-shape numpy batches ready for sharded device_put. Val/test split
+seeds reproduce the reference exactly (torch.Generator().manual_seed(42),
+dataloaders.py:279-282) via torch's randperm on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import pairing, sources, synthetic
+
+
+@dataclasses.dataclass
+class PairedDataset:
+    """Aligned multimodal rows: modalities[m][i] pairs with modalities[m'][i]."""
+
+    modalities: List[np.ndarray]
+    labels: List[np.ndarray]
+    extras: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+
+    def __len__(self):
+        return len(self.modalities[0])
+
+    def subset(self, idx: np.ndarray) -> "PairedDataset":
+        return PairedDataset(
+            [m[idx] for m in self.modalities],
+            [l[idx] for l in self.labels],
+            {k: v[idx] for k, v in self.extras.items()},
+        )
+
+
+def torch_split_indices(n: int, lengths: Sequence[int], seed: int = 42):
+    """torch.utils.data.random_split index semantics (randperm under a
+    manually-seeded Generator) — reproduces the reference's val splits
+    bit-exactly (dataloaders.py:279-282)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    perm = torch.randperm(n, generator=g).numpy()
+    out, off = [], 0
+    for ln in lengths:
+        out.append(perm[off: off + ln])
+        off += ln
+    return out
+
+
+class ArrayLoader:
+    """Minimal epoch iterator over a PairedDataset.
+
+    Yields (xs: list of (B, ...) float32 arrays, labels: list of (B,)).
+    Train iterations drop the remainder batch (static shapes for XLA);
+    eval iterations keep it (host-side metrics tolerate ragged tails).
+    """
+
+    def __init__(self, dataset: PairedDataset, batch_size: int, shuffle: bool,
+                 seed: int = 0, drop_last: Optional[bool] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @property
+    def num_examples(self):
+        return len(self.dataset)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            b = idx[s: s + self.batch_size]
+            yield (
+                [m[b] for m in self.dataset.modalities],
+                [l[b] for l in self.dataset.labels],
+            )
+
+
+def _loaders(train: PairedDataset, test: PairedDataset, val: PairedDataset,
+             batch_size: int, shuffle: bool, seed: int = 0):
+    return (
+        ArrayLoader(train, batch_size, shuffle, seed=seed),
+        ArrayLoader(test, batch_size, False),
+        ArrayLoader(val, batch_size, False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset constructors (the <DATASET>_DL.getDataLoaders equivalents)
+# ---------------------------------------------------------------------------
+
+def circles_squares(data_path: str = "", batch_size: int = 64, shuffle: bool = True,
+                    dataset_size: int = 1000, n_repeat: int = 10, seed: int = 0):
+    """CIRCLES_SQUARES_DL (dataloaders.py:169-192): modalities are
+    (squares, circles); labels 1=full/0=empty; radii kept as extras.
+    val/test = seed-42 split of the test set into [half, rest]."""
+    d = synthetic.make_circles_squares(dataset_size=dataset_size, n_repeat=n_repeat, seed=seed)
+    train = PairedDataset(
+        [d["squares_train"], d["circles_train"]],
+        [d["labels_train"], d["labels_train"]],
+        {"r_squares": d["r_squares_train"], "r_circles": d["r_circles_train"]},
+    )
+    test_full = PairedDataset(
+        [d["squares_test"], d["circles_test"]],
+        [d["labels_test"], d["labels_test"]],
+        {"r_squares": d["r_squares_test"], "r_circles": d["r_circles_test"]},
+    )
+    n = len(test_full)
+    val_idx, test_idx = torch_split_indices(n, [n // 2, n - n // 2])
+    return _loaders(train, test_full.subset(test_idx), test_full.subset(val_idx),
+                    batch_size, shuffle)
+
+
+def _paired_from_sources(mods_train, mods_test, max_d, dm, len_train, batch_size,
+                         shuffle, seed_pair=0):
+    """Shared pairing/split logic of the MNIST-SVHN-style loaders
+    (dataloaders.py:244-290)."""
+    idx_tr = pairing.rand_match_on_idx([l for _, l in mods_train], max_d=max_d, dm=dm, seed=seed_pair)
+    idx_te = pairing.rand_match_on_idx([l for _, l in mods_test], max_d=max_d, dm=dm, seed=seed_pair + 1)
+    # test pairing is shuffled once at build time (make-mnist-svhn-idx.py:44)
+    sh = np.random.default_rng(seed_pair + 2).permutation(len(idx_te[0]))
+    idx_te = tuple(i[sh] for i in idx_te)
+
+    # train-time seeded permutation enabling len_train truncation
+    # (dataloaders.py:263-266, RandomState(42))
+    rd_idx = np.random.RandomState(seed=42).permutation(len(idx_tr[0]))
+    idx_tr = tuple(i[rd_idx] for i in idx_tr)
+    if len_train is not None:
+        idx_tr = tuple(i[:len_train] for i in idx_tr)
+
+    train_full = PairedDataset(
+        [x[i] for (x, _), i in zip(mods_train, idx_tr)],
+        [l[i] for (_, l), i in zip(mods_train, idx_tr)],
+    )
+    test = PairedDataset(
+        [x[i] for (x, _), i in zip(mods_test, idx_te)],
+        [l[i] for (_, l), i in zip(mods_test, idx_te)],
+    )
+    # deterministic val split (dataloaders.py:279-282)
+    len_val = min(10000, len(train_full) // 10)
+    tr_idx, val_idx = torch_split_indices(len(train_full), [len(train_full) - len_val, len_val])
+    return _loaders(train_full.subset(tr_idx), test, train_full.subset(val_idx),
+                    batch_size, shuffle)
+
+
+def mnist_svhn(data_path: str = "../data", batch_size: int = 128, shuffle: bool = True,
+               len_train: Optional[int] = None, synthetic_n: int = 4096):
+    """MNIST_SVHN_DL (dataloaders.py:239-290). Uses raw files when present,
+    synthetic class-structured stand-ins otherwise."""
+    m_tr = sources.load_or_synthesize(
+        lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n, 1)
+    m_te = sources.load_or_synthesize(
+        lambda: sources.load_mnist(data_path, False), (1, 28, 28), synthetic_n // 4, 2)
+    s_tr = sources.load_or_synthesize(
+        lambda: sources.load_svhn(data_path, True), (3, 32, 32), synthetic_n, 3)
+    s_te = sources.load_or_synthesize(
+        lambda: sources.load_svhn(data_path, False), (3, 32, 32), synthetic_n // 4, 4)
+    return _paired_from_sources(
+        [m_tr[:2], s_tr[:2]], [m_te[:2], s_te[:2]],
+        max_d=10000, dm=5, len_train=len_train,
+        batch_size=batch_size, shuffle=shuffle,
+    )
+
+
+def mnist_fashion(data_path: str = "../data", batch_size: int = 128, shuffle: bool = True,
+                  synthetic_n: int = 4096):
+    """MNIST_FASHION_DL with the unbalanced correspondence pairing
+    (bin/make-mnist-fashion.py:10-11)."""
+    m_tr = sources.load_or_synthesize(
+        lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n, 1)
+    m_te = sources.load_or_synthesize(
+        lambda: sources.load_mnist(data_path, False), (1, 28, 28), synthetic_n // 4, 2)
+    f_tr = sources.load_or_synthesize(
+        lambda: sources.load_mnist(data_path, True, fashion=True), (1, 28, 28), synthetic_n, 5)
+    f_te = sources.load_or_synthesize(
+        lambda: sources.load_mnist(data_path, False, fashion=True), (1, 28, 28), synthetic_n // 4, 6)
+
+    def build(m, f, seed):
+        # correspondence covers mnist classes 0-2 only
+        i1, i2 = pairing.rand_match_on_correspondence(
+            m[1], f[1], pairing.MNIST_FASHION_CORRESPONDENCE, max_d=5000, dm=30, seed=seed)
+        return PairedDataset([m[0][i1], f[0][i2]], [m[1][i1], f[1][i2]])
+
+    train_full = build(m_tr, f_tr, 0)
+    test = build(m_te, f_te, 1)
+    len_val = min(10000, len(train_full) // 10)
+    tr_idx, val_idx = torch_split_indices(len(train_full), [len(train_full) - len_val, len_val])
+    return _loaders(train_full.subset(tr_idx), test, train_full.subset(val_idx),
+                    batch_size, shuffle)
+
+
+def mnist_svhn_fashion(data_path: str = "../data", batch_size: int = 128,
+                       shuffle: bool = True, synthetic_n: int = 4096):
+    """Trimodal MNIST-SVHN-Fashion (dataloaders.py:510-569,
+    bin/make_trimodal.py)."""
+    mods_tr, mods_te = [], []
+    for shape, fn_tr, fn_te, seed in [
+        ((1, 28, 28), lambda: sources.load_mnist(data_path, True),
+         lambda: sources.load_mnist(data_path, False), 1),
+        ((3, 32, 32), lambda: sources.load_svhn(data_path, True),
+         lambda: sources.load_svhn(data_path, False), 3),
+        ((1, 28, 28), lambda: sources.load_mnist(data_path, True, fashion=True),
+         lambda: sources.load_mnist(data_path, False, fashion=True), 5),
+    ]:
+        mods_tr.append(sources.load_or_synthesize(fn_tr, shape, synthetic_n, seed)[:2])
+        mods_te.append(sources.load_or_synthesize(fn_te, shape, synthetic_n // 4, seed + 1)[:2])
+    return _paired_from_sources(mods_tr, mods_te, max_d=10000, dm=5, len_train=None,
+                                batch_size=batch_size, shuffle=shuffle)
+
+
+def medmnist_pairs(data_path: str = "../data", batch_size: int = 128,
+                   shuffle: bool = True, synthetic_n: int = 2048):
+    """Pneumonia<->Blood MedMNIST pairing with the class remap 1->0, 6->1
+    (bin/make-medmnist-pairs.py:37-43, MEDMNIST_DL dataloaders.py:573-637)."""
+    out = []
+    for split, seed in [("train", 0), ("test", 1), ("val", 2)]:
+        p = sources.load_or_synthesize(
+            lambda s=split: sources.load_medmnist(data_path, "pneumoniamnist", s),
+            (1, 28, 28), synthetic_n, 10 + seed)
+        b_img, b_lab, real = sources.load_or_synthesize(
+            lambda s=split: sources.load_medmnist(data_path, "bloodmnist", s),
+            (3, 28, 28), synthetic_n, 20 + seed)
+        if real:
+            keep, new_lab = pairing.remap_medmnist_blood_labels(b_lab)
+            b_img, b_lab = b_img[keep], new_lab
+        else:
+            b_lab = b_lab % 2
+        p_lab = p[1] % 2
+        i1, i2 = pairing.rand_match_on_idx([p_lab, b_lab], max_d=10000, dm=3, seed=seed)
+        sh = np.random.default_rng(seed + 40).permutation(len(i1))
+        i1, i2 = i1[sh], i2[sh]
+        out.append(PairedDataset([p[0][i1], b_img[i2]], [p_lab[i1], b_lab[i2]]))
+    train, test, val = out
+    return _loaders(train, test, val, batch_size, shuffle)
+
+
+def celeba(data_path: str = "../data", batch_size: int = 128, shuffle: bool = True,
+           synthetic_n: int = 2048):
+    """CelebA image <-> 40-attribute pairs (datasets.py:269-428: the
+    attribute vector is itself a modality, returned as a 1x1x40 tensor).
+    Real data requires the 64x64 crops + attr file under data_path/celeba;
+    synthetic stand-ins otherwise."""
+    rng = np.random.default_rng(7)
+
+    def load_split(split, seed):
+        try:
+            npz = np.load(f"{data_path}/celeba/celeba64_{split}.npz")
+            imgs = npz["images"].astype(np.float32) / 255.0
+            attrs = npz["attrs"].astype(np.float32)
+        except (FileNotFoundError, OSError):
+            d = synthetic.synthetic_labeled_images(
+                synthetic_n if split == "train" else synthetic_n // 4,
+                (3, 64, 64), n_classes=2, seed=seed)
+            imgs = d["images"]
+            attrs = (rng.uniform(size=(len(imgs), 40)) < 0.3).astype(np.float32)
+            attrs[:, 20] = d["labels"]  # one informative attribute
+        labels = attrs[:, 20].astype(np.int64)  # male attr used as the label
+        return PairedDataset([imgs, attrs.reshape(-1, 1, 1, 40)], [labels, labels])
+
+    return _loaders(load_split("train", 30), load_split("test", 31),
+                    load_split("valid", 32), batch_size, shuffle)
+
+
+def chest_svhn(data_path: str = "../data", batch_size: int = 128,
+               shuffle: bool = True, synthetic_n: int = 2048):
+    """CHEST_SVHN_DL (dataloaders.py:293-347): pneumonia x-rays paired with
+    SVHN digits restricted to binary classes."""
+    out = []
+    for split, train_flag, seed in [("train", True, 0), ("test", False, 1), ("val", False, 2)]:
+        c = sources.load_or_synthesize(
+            lambda s=split: sources.load_medmnist(data_path, "pneumoniamnist", s),
+            (1, 28, 28), synthetic_n, 50 + seed)
+        s_img, s_lab, _ = sources.load_or_synthesize(
+            lambda t=train_flag: sources.load_svhn(data_path, t),
+            (3, 32, 32), synthetic_n, 60 + seed)
+        s_lab2 = (s_lab > 4).astype(np.int64)  # binarized digit classes
+        c_lab = c[1] % 2
+        i1, i2 = pairing.rand_match_on_idx([c_lab, s_lab2], max_d=10000, dm=3, seed=seed)
+        sh = np.random.default_rng(seed + 70).permutation(len(i1))
+        i1, i2 = i1[sh], i2[sh]
+        out.append(PairedDataset([c[0][i1], s_img[i2]], [c_lab[i1], s_lab2[i2]]))
+    train, test, val = out
+    return _loaders(train, test, val, batch_size, shuffle)
+
+
+DATASETS = {
+    "circles_squares": circles_squares,
+    "mnist_svhn": mnist_svhn,
+    "mnist_fashion": mnist_fashion,
+    "mnist_svhn_fashion": mnist_svhn_fashion,
+    "medmnist": medmnist_pairs,
+    "celeba": celeba,
+    "chest_svhn": chest_svhn,
+}
+
+
+def get_dataloaders(name: str, **kw) -> Tuple[ArrayLoader, ArrayLoader, ArrayLoader]:
+    return DATASETS[name](**kw)

@@ -1,0 +1,87 @@
+"""Raw dataset readers (no torchvision in the TPU image).
+
+Reads the same on-disk artifacts torchvision would produce/download:
+- MNIST/FashionMNIST: IDX ubyte files (optionally .gz)
+- SVHN: {train,test}_32x32.mat via scipy.io
+- MedMNIST: the official .npz archives
+Falls back to class-structured synthetic data (data/synthetic.py) when raw
+files are absent, so every pipeline is runnable hermetically.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Tuple
+
+import numpy as np
+
+from .synthetic import synthetic_labeled_images
+
+
+def _open_maybe_gz(path: str):
+    if os.path.exists(path):
+        return open(path, "rb")
+    if os.path.exists(path + ".gz"):
+        return gzip.open(path + ".gz", "rb")
+    raise FileNotFoundError(path)
+
+
+def read_idx(path: str) -> np.ndarray:
+    """MNIST IDX format reader."""
+    with _open_maybe_gz(path) as f:
+        data = f.read()
+    magic = int.from_bytes(data[0:4], "big")
+    ndim = magic & 0xFF
+    dims = [int.from_bytes(data[4 + 4 * i: 8 + 4 * i], "big") for i in range(ndim)]
+    return np.frombuffer(data, dtype=np.uint8, offset=4 + 4 * ndim).reshape(dims)
+
+
+def _mnist_dir(data_path: str, fashion: bool) -> str:
+    sub = "FashionMNIST" if fashion else "MNIST"
+    for cand in [os.path.join(data_path, sub, "raw"), os.path.join(data_path, sub)]:
+        if os.path.isdir(cand):
+            return cand
+    raise FileNotFoundError(f"no {sub} under {data_path}")
+
+
+def load_mnist(data_path: str, train: bool, fashion: bool = False):
+    """-> (images float32 (N,1,28,28) in [0,1], labels int64)."""
+    d = _mnist_dir(data_path, fashion)
+    split = "train" if train else "t10k"
+    imgs = read_idx(os.path.join(d, f"{split}-images-idx3-ubyte"))
+    labs = read_idx(os.path.join(d, f"{split}-labels-idx1-ubyte"))
+    return (imgs[:, None].astype(np.float32) / 255.0, labs.astype(np.int64))
+
+
+def load_svhn(data_path: str, train: bool):
+    """-> (images float32 (N,3,32,32) in [0,1], labels int64 in [0,9])."""
+    import scipy.io as sio
+
+    split = "train" if train else "test"
+    mat = sio.loadmat(os.path.join(data_path, f"{split}_32x32.mat"))
+    x = mat["X"]  # (32,32,3,N)
+    y = mat["y"].squeeze().astype(np.int64) % 10
+    x = np.transpose(x, (3, 2, 0, 1)).astype(np.float32) / 255.0
+    return x, y
+
+
+def load_medmnist(data_path: str, flag: str, split: str):
+    """MedMNIST .npz reader (e.g. flag='pneumoniamnist')."""
+    npz = np.load(os.path.join(data_path, f"{flag}.npz"))
+    x = npz[f"{split}_images"]
+    y = npz[f"{split}_labels"].squeeze().astype(np.int64)
+    if x.ndim == 3:
+        x = x[:, None]
+    else:
+        x = np.transpose(x, (0, 3, 1, 2))
+    return x.astype(np.float32) / 255.0, y
+
+
+def load_or_synthesize(loader_fn, fallback_shape, n_fallback: int, seed: int):
+    """Try a raw loader; on FileNotFoundError return synthetic stand-ins."""
+    try:
+        return loader_fn() + (True,)
+    except (FileNotFoundError, OSError):
+        d = synthetic_labeled_images(n_fallback, fallback_shape, seed=seed)
+        return d["images"], d["labels"], False

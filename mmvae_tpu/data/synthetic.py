@@ -1,0 +1,85 @@
+"""Synthetic dataset builders.
+
+- circles-squares: exact rebuild of bin/make-circles-squares.py:21-77 (the
+  reference's CPU-runnable smoke dataset) in pure numpy.
+- class-structured stand-ins for MNIST/SVHN-shaped data so tests and
+  benchmarks run hermetically (zero-egress environment; torchvision
+  downloads are unavailable).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def make_circles_squares(
+    dataset_size: int = 10000,
+    size_image: int = 32,
+    min_rayon: float = 0.3,
+    max_rayon: float = 0.9,
+    circle_thickness: float = 0.25,
+    n_repeat: int = 10,
+    test_size: float = 0.3,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Paired rings/line-squares and discs/full-squares rasterized from
+    random radii (bin/make-circles-squares.py). Returns dict with
+    squares_{train,test}, circles_{train,test}, labels_*, r_squares_*,
+    r_circles_* — the same artifact set the reference saves to disk."""
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-1, 1, size_image)
+    X, Y = np.meshgrid(xs, xs)
+    rr2 = X ** 2 + Y ** 2
+    rl1 = np.abs(X) + np.abs(Y)
+
+    n = dataset_size * n_repeat
+    # per pair-of-pairs random radii (two circles + two squares per repeat)
+    r_circles = rng.uniform(min_rayon, max_rayon, size=n)
+    r_squares = rng.uniform(min_rayon, max_rayon, size=n)
+
+    squares = np.empty((n, 1, size_image, size_image), dtype=np.float32)
+    circles = np.empty((n, 1, size_image, size_image), dtype=np.float32)
+    labels = np.empty(n, dtype=np.int64)
+    half = circle_thickness / 2
+    for i in range(n):
+        if i % 2 == 0:  # full disc <-> full square (label 1)
+            circles[i, 0] = rr2 <= r_circles[i] ** 2
+            squares[i, 0] = rl1 <= r_squares[i]
+            labels[i] = 1
+        else:  # ring <-> line square (label 0)
+            circles[i, 0] = (rr2 <= (r_circles[i] + half) ** 2) & (
+                rr2 >= (r_circles[i] - half) ** 2
+            )
+            squares[i, 0] = (rl1 <= r_squares[i] + half) & (rl1 >= r_squares[i] - half)
+            labels[i] = 0
+
+    perm = rng.permutation(n)
+    n_test = int(round(n * test_size))
+    test_idx, train_idx = perm[:n_test], perm[n_test:]
+    out = {}
+    for name, arr in [
+        ("squares", squares), ("circles", circles), ("labels", labels),
+        ("r_squares", r_squares.astype(np.float32)),
+        ("r_circles", r_circles.astype(np.float32)),
+    ]:
+        out[f"{name}_train"] = arr[train_idx]
+        out[f"{name}_test"] = arr[test_idx]
+    return out
+
+
+def synthetic_labeled_images(
+    n: int, shape, n_classes: int = 10, seed: int = 0
+) -> Dict[str, np.ndarray]:
+    """Class-structured random images: each class has a smooth random
+    prototype; samples are noisy prototypes squashed to [0,1]. Lets
+    coherence-style metrics behave sensibly without real data."""
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(0, 1, size=(n_classes,) + tuple(shape)).astype(np.float32)
+    labels = rng.integers(0, n_classes, size=n)
+    imgs = protos[labels] + 0.5 * rng.normal(0, 1, size=(n,) + tuple(shape)).astype(
+        np.float32
+    )
+    imgs = 1.0 / (1.0 + np.exp(-imgs))
+    return {"images": imgs.astype(np.float32), "labels": labels.astype(np.int64)}

@@ -1,0 +1,65 @@
+"""Generation utilities — functional rebuilds of Multi_VAES.generate /
+_sample_from_conditional / generate_from_conditional (multi_vaes.py:83-195).
+
+The reference's per-sample Python loops become vmaps over PRNG keys; the
+M x M x ns conditional-generation matrix is produced by a single jitted call.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import distributions as D
+from ..core.distributions import LocScale
+
+
+def generate(model, variables, key, spec, N: int, sampler=None, train: bool = False):
+    """Prior (or fitted-sampler) samples decoded in every modality
+    (multi_vaes.py:83-103). Returns list of (N, *event_m)."""
+    if sampler is None:
+        pz = LocScale(jnp.zeros((N, spec.latent_dim)), jnp.ones((N, spec.latent_dim)))
+        latents = D.sample(spec.posterior, pz, key)
+    else:
+        latents = jnp.asarray(sampler.sample(N, key))
+    return model.apply(variables, latents, method="decode_all", train=train)
+
+
+def sample_latents_from_mod(model, variables, cond_mod: int, x, key,
+                            train: bool = False):
+    """One posterior sample per input row via the model's own conditional
+    inference rule (multi_vaes.py:71-79; MVAE overrides with PoE-with-prior,
+    mvae.py:64-70)."""
+    return model.apply(variables, cond_mod, x, method="infer_latent_from_mod",
+                       rngs={"sample": key}, train=train)
+
+
+def sample_from_conditional(model, variables, bdata, key, n: int = 10,
+                            train: bool = False):
+    """M x M cross-generation matrix with n samples per datapoint
+    (multi_vaes.py:184-195). Returns samples[i][j] of shape
+    (n, B, *event_j)."""
+    n_mod = len(bdata)
+
+    def one(key_one):
+        keys = jax.random.split(key_one, n_mod)
+        out = []
+        for i in range(n_mod):
+            z = sample_latents_from_mod(model, variables, i, bdata[i], keys[i],
+                                        train=train)
+            out.append(model.apply(variables, z, method="decode_all", train=train))
+        return out
+
+    keys = jax.random.split(key, n)
+    return jax.vmap(one)(keys)
+
+
+def generate_from_conditional(model, variables, key, spec, N: int = 10,
+                              sampler=None, train: bool = False):
+    """p(x, y) = p(x) p(y|x) generation (multi_vaes.py:105-126)."""
+    k1, k2 = jax.random.split(key)
+    data = generate(model, variables, k1, spec, N, sampler=sampler, train=train)
+    cond = sample_from_conditional(model, variables, data, k2, n=1, train=train)
+    return data, cond

@@ -95,9 +95,21 @@ class JMVAE_NF(nn.Module):
             (x_m.reshape(x_m.shape[0], -1) - recon.reshape(x_m.shape[0], -1)) ** 2
         )
 
+    def init_all(self, x, K: int = 1, train: bool = False):
+        """Touch every parameterized path so a single init() creates the full
+        variable tree (the joint forward alone never reaches the unimodal
+        encoders/flows used post-warmup)."""
+        out = self(x, K=K, train=train)
+        reg, _ = self.compute_kld(x, train=train)
+        return out, reg
+
     def vae_forward(self, x_m, m: int, train: bool = False):
         """Full forward of unimodal VAE m (used by TELBO/SVAE/VAEVAE
         objectives)."""
+        return self.vaes[m](x_m, train=train)
+
+    def vae_forward_by_mod(self, x_m, m: int, train: bool = False):
+        """Alias with positional mod arg for the likelihood estimators."""
         return self.vaes[m](x_m, train=train)
 
     def encode_all_unimodal(self, x, train: bool = False):

@@ -10,8 +10,9 @@ is a pure vmap dimension that pjit can shard.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,6 +24,10 @@ from .vae import UnimodalVAE
 class MMVAE(nn.Module):
     vaes: Sequence[UnimodalVAE]
     posterior: str = "normal"  # params.dist — posterior AND prior family
+    # optional NamedSharding for the (M, K, B, D) sample tensor: shards the
+    # IWAE K axis over the mesh 'k' axis and the batch over 'data' —
+    # the workload's two parallel dimensions (SURVEY §5)
+    zss_sharding: Optional[object] = None
 
     @property
     def n_mod(self):
@@ -46,7 +51,14 @@ class MMVAE(nn.Module):
             key = self.make_rng("sample")
             z = D.sample(self.posterior, LocScale(mu, std), key, (K,))
             zss.append(z)
-        return qz_params, jnp.stack(zss)
+        zss = jnp.stack(zss)
+        if self.zss_sharding is not None:
+            # only constrain when the K axis is divisible (init passes K=1,
+            # which must stay unconstrained)
+            k_size = self.zss_sharding.mesh.shape.get("k", 1)
+            if zss.shape[1] % k_size == 0:
+                zss = jax.lax.with_sharding_constraint(zss, self.zss_sharding)
+        return qz_params, zss
 
     def decode_cross(self, zss, train: bool = False):
         """M x M cross-reconstruction matrix: recons[e][d] = decoder_d(z_e)

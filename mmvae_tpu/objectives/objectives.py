@@ -322,7 +322,8 @@ def m_jmvae_nf(model, variables, x, key, spec, K=1, epoch=1, warmup=0,
     details["loss"] = loss
     details["kld_prior"] = _joint_kld_prior(mu, std)
     if spec.linear_warmup:
-        beta_reg = min((epoch - 1) / warmup, 1.0) if warmup > 0 else 1.0
+        # epoch may be a traced scalar; keep the ramp jit-friendly
+        beta_reg = jnp.minimum((epoch - 1) / warmup, 1.0) if warmup > 0 else 1.0
     else:
         beta_reg = 1.0
     if past_warmup or spec.linear_warmup:

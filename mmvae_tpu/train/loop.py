@@ -1,0 +1,273 @@
+"""Training driver — the functional equivalent of the reference's main.py
+epoch loop (main.py:147-277): Adam(amsgrad) + ReduceLROnPlateau, warmup
+phases with optimizer reset and param freezing, early stopping with
+warmup shortening, best-model checkpointing, joint-encoder pool export.
+
+TPU-first: one jitted train step per phase (warmup / post-warmup), batch
+sharded over the mesh 'data' axis, lr and beta_kl fed as traced scalars so
+schedules never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import ExperimentConfig
+from ..objectives import objectives as obj_mod
+from ..parallel import mesh as mesh_lib
+from . import checkpoints, freezing
+from .schedule import BetaKlSchedule, ReduceLROnPlateau
+
+
+def _accumulate(agg: Dict[str, float], details: Dict[str, Any]):
+    """update_details contract (utils.py:238-244)."""
+    for k, v in details.items():
+        agg[k] = agg.get(k, 0.0) + float(v)
+
+
+@dataclasses.dataclass
+class TrainerState:
+    variables: Dict[str, Any]
+    opt_state: Any
+    epoch: int = 1
+
+
+class Trainer:
+    def __init__(self, model, spec, cfg: ExperimentConfig, mesh=None,
+                 run_path: Optional[str] = None, multimodal: bool = True,
+                 log_fn: Callable[[str], None] = print):
+        self.model = model
+        self.spec = spec
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_data=1)
+        self.run_path = run_path
+        self.log = log_fn
+        self.obj_name, self.obj_fn, self.custom_grad = obj_mod.resolve(
+            cfg.obj, multimodal, cfg.looser
+        )
+        self._step_cache: Dict[Any, Callable] = {}
+        self._eval_cache: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def init_variables(self, sample_xs, key) -> Dict[str, Any]:
+        method = "init_all" if hasattr(self.model, "init_all") else None
+        variables = self.model.init(
+            {"params": key, "sample": key}, [jnp.asarray(x) for x in sample_xs],
+            K=1, method=method,
+        )
+        return mesh_lib.replicate(self.mesh, variables)
+
+    def _make_tx(self, params, past_warmup: bool, amsgrad: bool):
+        frozen = freezing.frozen_prefixes_for_phase(
+            self.obj_name, past_warmup, self.cfg.fix_jencoder, self.cfg.fix_decoders
+        )
+        # lr is applied manually in the step (traced scalar); the inner
+        # transform runs at lr=1 (main.py:114-117, 243)
+        inner = optax.amsgrad(1.0) if amsgrad else optax.adam(1.0)
+        return freezing.masked_optimizer(inner, params, frozen)
+
+    def init_opt_state(self, variables, past_warmup: bool = False,
+                       amsgrad: bool = True):
+        self._tx = self._make_tx(variables["params"], past_warmup, amsgrad)
+        return mesh_lib.replicate(self.mesh, self._tx.init(variables["params"]))
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _scalar_kwargs(self):
+        return dict(
+            K=self.cfg.K, warmup=self.cfg.warmup,
+            beta_prior=self.cfg.beta_prior, beta=self.cfg.beta,
+        )
+
+    def _build_train_step(self, past_warmup: bool):
+        tx = self._tx
+        model, spec, obj_fn = self.model, self.spec, self.obj_fn
+        custom = self.custom_grad
+        statics = self._scalar_kwargs()
+
+        def step(variables, opt_state, xs, key, lr, beta_kl, epoch):
+            kwargs = dict(statics, past_warmup=past_warmup, beta_kl=beta_kl,
+                          epoch=epoch, train=True)
+            if custom:
+                obj, details, new_state, grads = obj_fn(
+                    model, variables, xs, key, spec, **kwargs
+                )
+                grads = jax.tree.map(lambda g: -g, grads)  # maximize -> minimize
+            else:
+                def loss_fn(p):
+                    v = {**variables, "params": p}
+                    obj, details, new_state = obj_fn(model, v, xs, key, spec, **kwargs)
+                    return -obj, (details, new_state)
+
+                (negobj, (details, new_state)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(variables["params"])
+                obj = -negobj
+            updates, opt_state = tx.update(grads, opt_state, variables["params"])
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(variables["params"], updates)
+            variables = {**variables, "params": params, **new_state}
+            return variables, opt_state, -obj, details
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self, past_warmup: bool):
+        model, spec, obj_fn = self.model, self.spec, self.obj_fn
+        custom = self.custom_grad
+        statics = self._scalar_kwargs()
+
+        def step(variables, xs, key, beta_kl, epoch):
+            kwargs = dict(statics, past_warmup=past_warmup, beta_kl=beta_kl,
+                          epoch=epoch, train=False)
+            out = obj_fn(model, variables, xs, key, spec, **kwargs)
+            obj, details = out[0], out[1]
+            return -obj, details
+
+        return jax.jit(step)
+
+    def train_step(self, past_warmup: bool):
+        if past_warmup not in self._step_cache:
+            self._step_cache[past_warmup] = self._build_train_step(past_warmup)
+        return self._step_cache[past_warmup]
+
+    def eval_step(self, past_warmup: bool):
+        if past_warmup not in self._eval_cache:
+            self._eval_cache[past_warmup] = self._build_eval_step(past_warmup)
+        return self._eval_cache[past_warmup]
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+
+    def run_epoch(self, state: TrainerState, loader, key, lr, beta_kl,
+                  train: bool = True, epoch: int = 1):
+        past_warmup = epoch >= self.cfg.warmup
+        step = self.train_step(past_warmup) if train else self.eval_step(past_warmup)
+        total, agg = 0.0, {}
+        for i, (xs, _) in enumerate(loader):
+            xs = mesh_lib.shard_batch(self.mesh, [jnp.asarray(x) for x in xs])
+            k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
+            if train:
+                state.variables, state.opt_state, loss, details = step(
+                    state.variables, state.opt_state, xs, k,
+                    jnp.float32(lr), jnp.float32(beta_kl), jnp.float32(epoch),
+                )
+            else:
+                loss, details = step(
+                    state.variables, xs, k, jnp.float32(beta_kl), jnp.float32(epoch)
+                )
+            total += float(loss)
+            _accumulate(agg, details)
+        n = loader.num_examples
+        return total / n, {k: v / n for k, v in agg.items()}
+
+    def fit(self, train_loader, val_loader, key=None,
+            callbacks: Optional[List[Callable]] = None,
+            min_epoch: int = 1) -> TrainerState:
+        """Full training run (main.py:234-277)."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        init_key, train_key = jax.random.split(key)
+        sample_xs, _ = next(iter(train_loader))
+        variables = self.init_variables(sample_xs, init_key)
+
+        if cfg.skip_warmup and self.run_path is not None:
+            pool = self._joint_pool_path()
+            try:
+                variables = checkpoints.load_joint_vae(variables, pool)
+                min_epoch = cfg.warmup
+                self.log(f"Loaded joint encoder/decoders from {pool}")
+            except FileNotFoundError:
+                self.log(f"skip_warmup: no pool at {pool}; training from scratch")
+
+        past0 = min_epoch >= cfg.warmup
+        opt_state = self.init_opt_state(variables, past_warmup=past0, amsgrad=True)
+        state = TrainerState(variables=variables, opt_state=opt_state, epoch=min_epoch)
+
+        plateau = ReduceLROnPlateau(lr=cfg.learning_rate)
+        beta_sched = BetaKlSchedule(cfg.beta_kl, cfg.decrease_beta_kl, cfg.warmup)
+        best_loss = math.inf
+        bad_epochs = 0
+        warmup = cfg.warmup
+        agg_hist = defaultdict(list)
+
+        epoch = min_epoch
+        while epoch <= cfg.epochs:
+            if epoch == warmup and cfg.fix_jencoder and epoch != min_epoch:
+                # optimizer reset at warmup end (main.py:241-245)
+                self.log(f"====> Epoch {epoch}: optimizer reset (post-warmup)")
+                state.opt_state = self.init_opt_state(
+                    state.variables, past_warmup=True, amsgrad=False
+                )
+                self._step_cache.clear()
+                plateau.reset(cfg.learning_rate)
+                best_loss = math.inf
+
+            t0 = time.time()
+            tr_loss, tr_details = self.run_epoch(
+                state, train_loader, train_key, plateau.lr, beta_sched.value,
+                train=True, epoch=epoch,
+            )
+            beta_sched.step(epoch)
+            va_loss, va_details = self.run_epoch(
+                state, val_loader, jax.random.fold_in(train_key, 0x7FFFFFFF),
+                plateau.lr, beta_sched.value, train=False, epoch=epoch,
+            )
+            agg_hist["train_loss"].append(tr_loss)
+            agg_hist["test_loss"].append(va_loss)
+            self.log(
+                f"====> Epoch {epoch:03d} train {tr_loss:.4f} val {va_loss:.4f} "
+                f"({time.time() - t0:.1f}s, lr {plateau.lr:g})"
+            )
+            for cb in callbacks or []:
+                cb(self, state, epoch, tr_details, va_details)
+
+            if va_loss < best_loss:
+                bad_epochs = 0
+                if self.run_path is not None:
+                    checkpoints.save_model(state.variables, self.run_path)
+                    if cfg.save_joint and epoch <= warmup and self._has_joint():
+                        checkpoints.save_joint_vae(state.variables, self._joint_pool_path())
+                best_loss = va_loss
+            else:
+                bad_epochs += 1
+
+            plateau.step(va_loss)
+            if bad_epochs == 20:
+                if epoch >= warmup:
+                    break  # early stop (main.py:267-270)
+                # end warmup early (main.py:271-277)
+                warmup = epoch + 1
+                self.cfg.warmup = warmup
+                bad_epochs = 0
+                best_loss = math.inf
+                self.log(f"====> ending warmup early at epoch {epoch}")
+            epoch += 1
+
+        state.epoch = epoch
+        self._history = dict(agg_hist)
+        return state
+
+    def _has_joint(self):
+        return hasattr(self.model, "joint_encoder")
+
+    def _joint_pool_path(self):
+        import os
+
+        exp = self.cfg.experiment.split("/")[-1] or "default"
+        base = os.path.dirname(self.run_path.rstrip("/")) if self.run_path else "."
+        return os.path.join(base, "joint_encoders", exp)

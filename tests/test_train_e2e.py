@@ -1,0 +1,126 @@
+"""End-to-end smoke: train MMVAE and JMVAE-NF on circles-squares (the
+reference's own smoke config: run.sh:8, latent_dim 2) and verify training
+reduces the loss, checkpoints land, and the multi-device mesh path works."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mmvae_tpu.core.config import ExperimentConfig
+from mmvae_tpu.data import get_dataloaders
+from mmvae_tpu.models import registry
+from mmvae_tpu.parallel import make_mesh
+from mmvae_tpu.train import Trainer
+
+
+def _loaders(batch_size=32):
+    return get_dataloaders("circles_squares", batch_size=batch_size,
+                           dataset_size=40, n_repeat=4)
+
+
+def test_mmvae_elbo_circles_trains(tmp_path):
+    cfg = ExperimentConfig(
+        model="circles_squares", obj="elbo", K=1, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=32,
+        learning_rate=1e-3, epochs=3, warmup=0, experiment="smoke/circles",
+    )
+    bundle = registry.build(cfg)
+    train, test, val = _loaders()
+    trainer = Trainer(bundle.model, bundle.spec, cfg, run_path=str(tmp_path))
+    state = trainer.fit(train, val)
+    hist = trainer._history
+    assert hist["train_loss"][-1] < hist["train_loss"][0], hist
+    assert os.path.exists(tmp_path / "model.msgpack")
+
+
+def test_mmvae_dreg_looser_circles_trains(tmp_path):
+    cfg = ExperimentConfig(
+        model="circles_squares", obj="dreg", looser=True, K=5, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=32,
+        learning_rate=1e-3, epochs=4, warmup=0,
+    )
+    bundle = registry.build(cfg)
+    train, test, val = _loaders()
+    trainer = Trainer(bundle.model, bundle.spec, cfg, run_path=str(tmp_path))
+    assert trainer.obj_name == "m_dreg_looser" and trainer.custom_grad
+    trainer.fit(train, val)
+    hist = trainer._history
+    assert min(hist["train_loss"][1:]) < hist["train_loss"][0], hist
+
+
+def test_jmvae_nf_circles_warmup_phases(tmp_path):
+    """JMVAE-NF with MAF flows through the warmup -> post-warmup transition
+    (optimizer reset, freezing, flow-KLD activation)."""
+    cfg = ExperimentConfig(
+        model="jnf_circles_squares", obj="jmvae_nf", K=1, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=32,
+        learning_rate=1e-3, epochs=4, warmup=3, no_nf=False, flow="maf",
+        fix_jencoder=True, fix_decoders=True, save_joint=True,
+        experiment="smoke/jnf_circles",
+    )
+    bundle = registry.build(cfg)
+    train, test, val = _loaders()
+    trainer = Trainer(bundle.model, bundle.spec, cfg, run_path=str(tmp_path))
+    state = trainer.fit(train, val)
+    assert os.path.exists(tmp_path / "model.msgpack")
+    # joint encoder pool published during warmup (main.py:255-261)
+    pool = trainer._joint_pool_path()
+    assert glob.glob(os.path.join(pool, "model_joint_encoder.msgpack")), pool
+
+
+def test_frozen_params_not_updated_post_warmup(tmp_path):
+    """fix_jencoder/fix_decoders: the joint encoder must be bit-identical
+    across a post-warmup epoch (objectives.py:180-183 semantics)."""
+    cfg = ExperimentConfig(
+        model="jnf_circles_squares", obj="jmvae_nf", K=1, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=32,
+        learning_rate=1e-3, epochs=2, warmup=1, no_nf=False, flow="maf",
+        fix_jencoder=True, fix_decoders=True,
+    )
+    bundle = registry.build(cfg)
+    train, test, val = _loaders()
+    trainer = Trainer(bundle.model, bundle.spec, cfg)
+    key = jax.random.PRNGKey(0)
+    sample_xs, _ = next(iter(train))
+    variables = trainer.init_variables(sample_xs, key)
+    opt_state = trainer.init_opt_state(variables, past_warmup=True)
+    from mmvae_tpu.train.loop import TrainerState
+
+    state = TrainerState(variables=variables, opt_state=opt_state)
+    before = jax.device_get(state.variables["params"]["joint_encoder"])
+    before_dec = jax.device_get(state.variables["params"]["vaes_0"]["decoder"])
+    before_enc = jax.device_get(state.variables["params"]["vaes_0"]["encoder"])
+    trainer.run_epoch(state, train, key, lr=1e-3, beta_kl=1.0, train=True, epoch=2)
+    after = jax.device_get(state.variables["params"]["joint_encoder"])
+    after_dec = jax.device_get(state.variables["params"]["vaes_0"]["decoder"])
+    after_enc = jax.device_get(state.variables["params"]["vaes_0"]["encoder"])
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(before_dec), jax.tree.leaves(after_dec)):
+        np.testing.assert_array_equal(a, b)
+    # the unimodal encoders DO train post-warmup
+    changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(before_enc), jax.tree.leaves(after_enc))
+    )
+    assert changed
+
+
+def test_data_parallel_mesh_8_devices(tmp_path):
+    """Same training step over the 8-device virtual CPU mesh."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(n_data=8)
+    cfg = ExperimentConfig(
+        model="circles_squares", obj="elbo", K=1, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=32,
+        learning_rate=1e-3, epochs=2, warmup=0,
+    )
+    bundle = registry.build(cfg)
+    train, test, val = _loaders()
+    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh, run_path=str(tmp_path))
+    trainer.fit(train, val)
+    hist = trainer._history
+    assert hist["train_loss"][-1] < hist["train_loss"][0], hist
