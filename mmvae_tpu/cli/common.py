@@ -1,0 +1,86 @@
+"""Shared reload logic for the eval entry points (validate.py:26-63
+pattern: locate latest run dir by mtime, reload args.json, rebuild the
+model, load the checkpoint)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ExperimentConfig
+from ..data import get_dataloaders
+from ..models import registry
+from ..train import checkpoints
+
+
+def find_latest_run(experiments_dir: str, experiment: str) -> str:
+    """Latest run dir by mtime (validate.py:26-27)."""
+    pattern = os.path.join(experiments_dir, experiment, "*", "*")
+    runs = [d for d in glob.glob(pattern) if os.path.isdir(d)]
+    if not runs:
+        raise FileNotFoundError(f"no runs under {pattern}")
+    return max(runs, key=os.path.getmtime)
+
+
+def reload_model(run_path: str):
+    """-> (cfg, bundle, variables, loaders)."""
+    with open(os.path.join(run_path, "args.json")) as f:
+        cfg = ExperimentConfig.from_dict(json.load(f))
+    bundle = registry.build(cfg)
+    import inspect
+
+    from ..data.loaders import DATASETS
+
+    sig = inspect.signature(DATASETS[bundle.dataset]).parameters
+    extra = {k: v for k, v in cfg.extra.items() if k in sig}
+    loaders = get_dataloaders(bundle.dataset, batch_size=cfg.batch_size,
+                              data_path=cfg.data_path, **extra)
+    train_loader = loaders[0]
+    xs, _ = next(iter(train_loader))
+    key = jax.random.PRNGKey(cfg.seed)
+    method = "init_all" if hasattr(bundle.model, "init_all") else None
+    template = bundle.model.init({"params": key, "sample": key},
+                                 [jnp.asarray(x) for x in xs], K=1, method=method)
+    variables = checkpoints.load_bytes(
+        template, os.path.join(run_path, "model.msgpack"))
+    return cfg, bundle, variables, loaders
+
+
+def classifier_pool_dir(experiments_dir: str = "../experiments") -> str:
+    return os.path.join(experiments_dir, "classifiers")
+
+
+def get_or_train_classifiers(bundle, loaders, experiments_dir: str,
+                             key, epochs: int = 2):
+    """Load pretrained eval classifiers from the shared pool, training and
+    publishing them on first use (the reference pretrains via
+    analysis/classifiers __main__ blocks and loads with load_pretrained_*,
+    e.g. classifier_mnist.py:51-64)."""
+    import numpy as np
+
+    from ..eval import classifiers as C
+
+    pool = classifier_pool_dir(experiments_dir)
+    train_loader = loaders[0]
+    ds = train_loader.dataset
+    fns = []
+    for m, ck in enumerate(bundle.classifier_keys):
+        arch = C.ARCHS[ck](num_attrs=40) if ck == "celeba_attr" else C.ARCHS[ck]()
+        path = os.path.join(pool, f"{ck}.msgpack")
+        sample_shape = ds.modalities[m].shape[1:]
+        try:
+            variables = C.load_classifier(arch, sample_shape, path)
+        except (FileNotFoundError, OSError, KeyError, ValueError):
+            imgs = ds.modalities[m]
+            labs = ds.labels[m]
+            variables = C.train_classifier(arch, imgs, labs,
+                                           jax.random.fold_in(key, m),
+                                           epochs=epochs)
+            C.save_classifier(variables, path)
+        fns.append(C.make_apply(arch, variables))
+    return fns

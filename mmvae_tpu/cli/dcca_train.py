@@ -1,0 +1,71 @@
+"""DCCA pretraining entry point — dcca/trainings/main_*.py equivalent.
+
+Trains the per-dataset DCCA encoder pair, fits linear CCA, exports
+artifacts consumed by the *_dcca model builders, and runs an SVM probe on
+the embeddings (main_mnist_svhn.py:149-226).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, default="mnist_svhn",
+                        choices=["mnist_svhn", "circles_squares"])
+    parser.add_argument("--outdim", type=int, default=16)
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--batch-size", type=int, default=800)
+    parser.add_argument("--data-path", type=str, default="../data")
+    parser.add_argument("--out", type=str, default="../experiments/dcca")
+    parser.add_argument("--platform", type=str, default=None)
+    info = parser.parse_args(argv)
+    if info.platform:
+        jax.config.update("jax_platforms", info.platform)
+
+    from ..data import get_dataloaders
+    from ..dcca.nets import dcca_encoders_circles, dcca_encoders_mnist_svhn
+    from ..dcca.train import Solver
+
+    builders = {"mnist_svhn": dcca_encoders_mnist_svhn,
+                "circles_squares": dcca_encoders_circles}[info.dataset]
+    train_l, test_l, val_l = get_dataloaders(
+        info.dataset, batch_size=info.batch_size, data_path=info.data_path)
+
+    solver = Solver(builders(info.outdim), info.outdim)
+    solver.fit(train_l, val_l, epochs=info.epochs)
+    out_path = os.path.join(info.out, info.dataset, "dcca.npz")
+    solver.save(out_path)
+    print("saved", out_path)
+
+    # SVM probe on the linear-CCA projections (dcca/utils.py:33)
+    from sklearn.svm import LinearSVC
+
+    @jax.jit
+    def infer(xs):
+        return solver.model.apply(solver.variables, xs)
+
+    feats, labels = [[], []], []
+    for xs, labs in test_l:
+        outs = infer([jnp.asarray(x) for x in xs])
+        feats[0].append(np.asarray(outs[0]))
+        feats[1].append(np.asarray(outs[1]))
+        labels.append(labs[0])
+    labels = np.concatenate(labels)
+    for v in range(2):
+        h = solver.lcca.transform(np.concatenate(feats[v]), v)
+        n = len(h) // 2
+        clf = LinearSVC().fit(h[:n], labels[:n])
+        acc = clf.score(h[n:], labels[n:])
+        print(f"SVM probe view {v}: acc {acc:.4f}")
+    return out_path
+
+
+if __name__ == "__main__":
+    main()

@@ -55,13 +55,34 @@ def main(argv=None):
     kw = dict(batch_size=cfg.batch_size, data_path=cfg.data_path)
     if cfg.len_train and bundle.dataset == "mnist_svhn":
         kw["len_train"] = cfg.len_train
+    # forward unknown config keys that the dataset constructor accepts
+    # (e.g. dataset_size/n_repeat for the synthetic circles builder)
+    import inspect
+
+    from ..data.loaders import DATASETS
+    sig = inspect.signature(DATASETS[bundle.dataset]).parameters
+    kw.update({k: v for k, v in cfg.extra.items() if k in sig})
     train_loader, test_loader, val_loader = get_dataloaders(bundle.dataset, **kw)
     print(f"Train: {train_loader.num_examples}, Test: {test_loader.num_examples}, "
           f"Val: {val_loader.num_examples}")
 
     trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh, run_path=run_path)
     print(f"objective: {trainer.obj_name}")
-    state = trainer.fit(train_loader, val_loader, key=jax.random.PRNGKey(cfg.seed))
+
+    variables_hook = None
+    if cfg.dcca:
+        dcca_path = cfg.extra.get(
+            "dcca_path", os.path.join("../experiments/dcca", bundle.dataset, "dcca.npz"))
+        if os.path.exists(dcca_path):
+            print(f"grafting pretrained DCCA trunks from {dcca_path}")
+            variables_hook = lambda v: registry.graft_dcca_params(  # noqa: E731
+                v, dcca_path, bundle.model)
+        else:
+            print(f"WARNING: dcca=true but no artifacts at {dcca_path}; "
+                  "trunks stay randomly initialized (frozen)")
+
+    state = trainer.fit(train_loader, val_loader, key=jax.random.PRNGKey(cfg.seed),
+                        variables_hook=variables_hook)
 
     with open(os.path.join(run_path, "losses.json"), "w") as f:
         json.dump(getattr(trainer, "_history", {}), f)

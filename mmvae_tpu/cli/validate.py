@@ -1,0 +1,87 @@
+"""Metrics entry point — the validate.py equivalent.
+
+Reloads the latest (or given) run, computes classifier coherence + sample
+grids + cross-modal FID on the full test set, repeated 5x for mean/std
+(validate.py:98-154).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="",
+                        help="experiment subdir, e.g. mmvae/mnist_svhn")
+    parser.add_argument("--run-path", type=str, default="")
+    parser.add_argument("--experiments-dir", type=str, default="../experiments")
+    parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--n-data", type=int, default=100)
+    parser.add_argument("--ns", type=int, default=100)
+    parser.add_argument("--skip-fid", action="store_true")
+    parser.add_argument("--fid-weights", type=str, default="",
+                        help="path to pytorch-fid inception weights (.pt)")
+    parser.add_argument("--platform", type=str, default=None)
+    info = parser.parse_args(argv)
+    if info.platform:
+        jax.config.update("jax_platforms", info.platform)
+
+    from ..eval import compute_accuracies, cross_modal_fid, make_inception_fn
+    from ..vis import save_samples
+    from .common import find_latest_run, get_or_train_classifiers, reload_model
+
+    run_path = info.run_path or find_latest_run(info.experiments_dir, info.model)
+    print("Validating", run_path)
+    cfg, bundle, variables, (train_l, test_l, val_l) = reload_model(run_path)
+    key = jax.random.PRNGKey(cfg.seed)
+    classifiers = get_or_train_classifiers(bundle, (train_l, test_l, val_l),
+                                           info.experiments_dir, key)
+
+    if not info.skip_fid:
+        weights = info.fid_weights or None
+        encoder_fn = make_inception_fn(weights_path=weights)
+
+    all_metrics = []
+    for r in range(info.repeats):
+        kr = jax.random.fold_in(key, r)
+        xs, labs = next(iter(test_l))
+        xs = [jnp.asarray(x) for x in xs]
+        metrics = compute_accuracies(
+            bundle.model, variables, classifiers, xs,
+            [jnp.asarray(l) for l in labs], kr, bundle.spec,
+            n_data=min(info.n_data, len(xs[0])), ns=info.ns,
+        )
+        if not info.skip_fid:
+            metrics.update(cross_modal_fid(bundle.model, variables, test_l,
+                                           bundle.spec, kr, encoder_fn,
+                                           n_batches=4))
+        all_metrics.append(metrics)
+        print(f"repeat {r}: {metrics}")
+
+    summary = {}
+    for k in all_metrics[0]:
+        vals = [m[k] for m in all_metrics]
+        summary[k] = {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(run_path, "metrics.json"), "w") as f:
+        json.dump(summary, f)
+
+    # sample grids (validate.py:118-128)
+    from ..eval import generate, sample_from_conditional
+
+    gen = generate(bundle.model, variables, key, bundle.spec, N=32)
+    if len(gen) == 2:
+        save_samples([np.asarray(g) for g in gen[:2]],
+                     os.path.join(run_path, "generate_val.png"))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

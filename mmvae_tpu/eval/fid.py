@@ -1,0 +1,311 @@
+"""FID — Fréchet Inception Distance (analysis/pytorch_fid/ rebuild).
+
+Components:
+- calculate_frechet_distance: numpy/scipy (fid_score.py:148-200)
+- preprocessing: bilinear resize to 299x299 + zero-channel padding for
+  1-channel inputs (utils.py:315-320 add_channels; modalities/mnist_svhn.py:17)
+- InceptionV3FID: the pytorch-fid InceptionV3 variant in flax (FID-specific
+  InceptionA/C/E pooling quirks included), with a torch-state-dict weight
+  converter (`load_torch_inception_weights`) for the published FID weights
+  (inception.py:13 URL — zero-egress here, so the file must be provided
+  locally); without weights the architecture still runs (random features)
+  and `cross_modal_fid` also accepts any custom encoder
+  (analysis/Quality_assess.py pattern).
+- cross_modal_fid: per-direction conditional FID (modalities/mnist_svhn.py:13-66)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Fréchet distance (fid_score.py:148-200)
+# ---------------------------------------------------------------------------
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    import scipy.linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean = scipy.linalg.sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    tr_covmean = np.trace(covmean)
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * tr_covmean)
+
+
+def activation_statistics(acts: np.ndarray):
+    return np.mean(acts, axis=0), np.cov(acts, rowvar=False)
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+# ---------------------------------------------------------------------------
+
+def fid_preprocess(x: jax.Array) -> jax.Array:
+    """Resize NCHW to 299x299 bilinear + pad 1-channel inputs with zero
+    channels (transforms at modalities/mnist_svhn.py:17, utils.py:315-320)."""
+    n, c = x.shape[0], x.shape[1]
+    y = jax.image.resize(x, (n, c, 299, 299), method="bilinear")
+    if c == 1:
+        y = jnp.concatenate([y, jnp.zeros_like(y), jnp.zeros_like(y)], axis=1)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 (pytorch-fid variant) in flax
+# ---------------------------------------------------------------------------
+
+class BasicConv2d(nn.Module):
+    features: int
+    kernel_size: tuple
+    stride: int = 1
+    padding: tuple = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.features, x.shape[1], kh, kw), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (self.stride, self.stride), ((ph, ph), (pw, pw)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        bn = nn.BatchNorm(use_running_average=True, epsilon=1e-3, axis=1,
+                          use_bias=True, use_scale=True, name="bn")
+        return nn.relu(bn(y))
+
+
+def _avg_pool(x, window=3, stride=1, pad=1, count_include_pad=True):
+    """torch AvgPool2d semantics on NCHW."""
+    sums = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, window, window), (1, 1, stride, stride),
+        ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    if count_include_pad:
+        return sums / (window * window)
+    ones = jnp.ones_like(x)
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 1, window, window), (1, 1, stride, stride),
+        ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    return sums / counts
+
+
+def _max_pool(x, window=3, stride=2, pad=0):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, window, window), (1, 1, stride, stride),
+        ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+    fid: bool = True  # FIDInceptionA: avgpool count_include_pad=False
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        bp = _avg_pool(x, count_include_pad=not self.fid)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b5, b3, bp], axis=1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
+        bp = _max_pool(x)
+        return jnp.concatenate([b3, bd, bp], axis=1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+    fid: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.channels_7x7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = _avg_pool(x, count_include_pad=not self.fid)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b7, bd, bp], axis=1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
+        bp = _max_pool(x)
+        return jnp.concatenate([b3, b7, bp], axis=1)
+
+
+class InceptionE(nn.Module):
+    pool: str = "avg"  # FIDInceptionE_1: avg(count_include_pad=False); E_2: max
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=1)
+        if self.pool == "avg":
+            bp = _avg_pool(x, count_include_pad=False)
+        else:
+            bp = _max_pool(x, window=3, stride=1, pad=1)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], axis=1)
+
+
+class InceptionV3FID(nn.Module):
+    """pytorch-fid InceptionV3 up to the 2048-d pool3 features
+    (inception.py:16-345). Input: NCHW float in [0,1]; the module applies
+    the (2x - 1) normalization itself (inception.py normalize_input)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = 2 * x - 1
+        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        x = _max_pool(x)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = _max_pool(x)
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(pool="avg", name="Mixed_7b")(x)
+        x = InceptionE(pool="max", name="Mixed_7c")(x)
+        return jnp.mean(x, axis=(2, 3))  # adaptive avg pool -> (N, 2048)
+
+
+def load_torch_inception_weights(variables, pt_path: str):
+    """Convert the pytorch-fid checkpoint (state_dict of FIDInceptionV3)
+    into our variable tree. Returns updated variables."""
+    import torch
+
+    sd = torch.load(pt_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    params = jax.tree.map(np.array, variables["params"])
+    stats = jax.tree.map(np.array, variables["batch_stats"])
+
+    def visit(tree_p, tree_s, prefix):
+        if "kernel" in tree_p and "bn" in tree_p:
+            tree_p["kernel"] = sd[prefix + ".conv.weight"].numpy()
+            tree_p["bn"]["scale"] = sd[prefix + ".bn.weight"].numpy()
+            tree_p["bn"]["bias"] = sd[prefix + ".bn.bias"].numpy()
+            tree_s["bn"]["mean"] = sd[prefix + ".bn.running_mean"].numpy()
+            tree_s["bn"]["var"] = sd[prefix + ".bn.running_var"].numpy()
+            return
+        for k in tree_p:
+            visit(tree_p[k], tree_s.get(k, {}), f"{prefix}.{k}" if prefix else k)
+
+    visit(params, stats, "")
+    return {"params": params, "batch_stats": stats}
+
+
+def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
+    """wrapper_inception equivalent (inception.py:332-345): images -> 2048-d
+    activations, jitted, chunked over the batch."""
+    model = InceptionV3FID()
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, 3, 299, 299)))
+    if weights_path is not None:
+        variables = load_torch_inception_weights(variables, weights_path)
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(variables, fid_preprocess(x))
+
+    def activations(images) -> np.ndarray:
+        out = []
+        n = images.shape[0]
+        for s in range(0, n, batch):
+            out.append(np.asarray(fwd(jnp.asarray(images[s: s + batch]))))
+        return np.concatenate(out)
+
+    return activations
+
+
+# ---------------------------------------------------------------------------
+# cross-modal FID (modalities/mnist_svhn.py:13-66)
+# ---------------------------------------------------------------------------
+
+def cross_modal_fid(model, variables, loader, spec, key,
+                    encoder_fn: Callable, n_batches: Optional[int] = None):
+    """Per-direction conditional FID: reference activations of real test
+    data vs activations of cross-generated samples."""
+    from .generation import sample_from_conditional
+
+    n_mod = None
+    ref_acts: List[List[np.ndarray]] = []
+    gen_acts: List[List[np.ndarray]] = []
+    for bi, (xs, _) in enumerate(loader):
+        if n_batches is not None and bi >= n_batches:
+            break
+        if n_mod is None:
+            n_mod = len(xs)
+            ref_acts = [[] for _ in range(n_mod)]
+            gen_acts = [[] for _ in range(n_mod)]
+        for m in range(n_mod):
+            ref_acts[m].append(encoder_fn(xs[m]))
+        gen = sample_from_conditional(model, variables,
+                                      [jnp.asarray(x) for x in xs],
+                                      jax.random.fold_in(key, bi), n=1)
+        # direction m: samples generated FROM the other modality
+        for m in range(n_mod):
+            src = (m + 1) % n_mod
+            g = np.asarray(gen[src][m][0])
+            gen_acts[m].append(encoder_fn(g))
+    fids = {}
+    for m in range(n_mod):
+        mu1, s1 = activation_statistics(np.concatenate(ref_acts[m]))
+        mu2, s2 = activation_statistics(np.concatenate(gen_acts[m]))
+        fids[f"fid_{m}"] = calculate_frechet_distance(mu1, s1, mu2, s2)
+    return fids

@@ -68,7 +68,10 @@ def _ms_lik_scaling(cfg) -> Tuple[float, float]:
 
 def _dcca_pair(cfg, builders, dim_first: int = 16, artifacts=None):
     """DCCA-wrapped frozen encoders (dcca/models/mnist_svhn.py:97-104).
-    artifacts: optional (m_list, w_list) from a fitted LinearCCA."""
+    artifacts: optional (m_list, w_list) from a fitted LinearCCA — when
+    given, the trunk outdim follows the artifact."""
+    if artifacts is not None:
+        dim_first = int(np.asarray(artifacts[0][0]).shape[0])
     encs = builders(dim_first)
     wrapped = []
     for i, enc in enumerate(encs):
@@ -136,8 +139,63 @@ def _jnf_mnist_svhn(cfg: ExperimentConfig, use_dcca: bool, dcca_artifacts=None) 
                        ("mnist", "svhn"))
 
 
+def _load_dcca_artifacts(cfg: ExperimentConfig, dataset: str):
+    """Linear-CCA projection arrays from a dcca_train run, if present
+    (load_dcca_* factories, dcca/models/mnist_svhn.py:97-104)."""
+    import os
+
+    path = cfg.extra.get(
+        "dcca_path", os.path.join("../experiments/dcca", dataset, "dcca.npz"))
+    if not os.path.exists(path):
+        return None, None
+    npz = np.load(path)
+    return ([npz["m0"], npz["m1"]], [npz["w0"], npz["w1"]]), path
+
+
 def jnf_mnist_svhn_dcca(cfg: ExperimentConfig) -> ModelBundle:
-    return _jnf_mnist_svhn(cfg, use_dcca=cfg.dcca)
+    artifacts = None
+    if cfg.dcca:
+        artifacts, path = _load_dcca_artifacts(cfg, "mnist_svhn")
+    return _jnf_mnist_svhn(cfg, use_dcca=cfg.dcca, dcca_artifacts=artifacts)
+
+
+def graft_dcca_params(variables, dcca_npz_path: str, template_model):
+    """Load the pretrained DCCA trunk params from a Solver artifact into
+    every first_encoder_* site of a freshly-initialized variable tree
+    (the reference loads model{1,2}.pt at model construction,
+    dcca/models/mnist_svhn.py:55-58)."""
+    from flax import serialization
+
+    npz = np.load(dcca_npz_path)
+    # rebuild solver param tree structure from bytes
+    raw = npz["params"].tobytes()
+    solver_vars = serialization.msgpack_restore(bytearray(raw))
+    trunk_params = solver_vars.get("params", solver_vars)
+
+    def graft(tree, mod_idx=None):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            # track which modality subtree we are in (vaes_{i} or
+            # dcca_encoders_{i})
+            idx = mod_idx
+            for prefix in ("vaes_", "dcca_encoders_", "first_encoder_"):
+                if k.startswith(prefix) and k[len(prefix):].isdigit():
+                    idx = int(k[len(prefix):])
+            if k.startswith("first_encoder") and isinstance(v, dict) and idx is not None:
+                src = trunk_params.get(f"encoders_{idx}")
+                if src is not None:
+                    # the wrapped trunk is the single child of the
+                    # LCCAWrappedEncoder scope (its `encoder` field)
+                    out[k] = {tn: src for tn in v}
+                    continue
+            out[k] = graft(v, idx)
+        return out
+
+    out = dict(variables)
+    out["params"] = graft(variables["params"])
+    return out
 
 
 def mvae_mnist_svhn(cfg: ExperimentConfig) -> ModelBundle:
@@ -218,7 +276,8 @@ def jnf_circles_squares(cfg: ExperimentConfig) -> ModelBundle:
     joint = DoubleHeadMLP(latent_dim=cfg.latent_dim, hidden_dim=512,
                           num_hidden_layers=cfg.num_hidden_layers,
                           name="joint_encoder")
-    dcca = _dcca_pair(cfg, dcca_encoders_circles, 16) if cfg.dcca else None
+    dcca_artifacts = _load_dcca_artifacts(cfg, "circles_squares")[0] if cfg.dcca else None
+    dcca = _dcca_pair(cfg, dcca_encoders_circles, 16, dcca_artifacts) if cfg.dcca else None
     if cfg.dcca:
         enc1 = TwoStepsEncoder(first_encoder=dcca[0], latent_dim=cfg.latent_dim, num_hidden=1)
         enc2 = TwoStepsEncoder(first_encoder=dcca[1], latent_dim=cfg.latent_dim, num_hidden=1)

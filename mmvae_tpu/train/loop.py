@@ -177,13 +177,18 @@ class Trainer:
 
     def fit(self, train_loader, val_loader, key=None,
             callbacks: Optional[List[Callable]] = None,
-            min_epoch: int = 1) -> TrainerState:
-        """Full training run (main.py:234-277)."""
+            min_epoch: int = 1,
+            variables_hook: Optional[Callable] = None) -> TrainerState:
+        """Full training run (main.py:234-277). variables_hook, if given,
+        transforms the freshly-initialized variables (e.g. grafting
+        pretrained DCCA trunks or warm-start weights)."""
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         init_key, train_key = jax.random.split(key)
         sample_xs, _ = next(iter(train_loader))
         variables = self.init_variables(sample_xs, init_key)
+        if variables_hook is not None:
+            variables = mesh_lib.replicate(self.mesh, variables_hook(variables))
 
         if cfg.skip_warmup and self.run_path is not None:
             pool = self._joint_pool_path()

@@ -1,0 +1,125 @@
+"""Visualisation helpers — rebuild of bivae/vis.py on PIL/matplotlib.
+
+save_image/save_samples grids (vis.py:194-204), embedding scatter plots
+(vis.py:38-101), radius histograms (vis.py:178-192). Latent reduction uses
+PCA (sklearn) in place of the reference's UMAP dependency — documented
+deviation (umap-learn is not in the TPU image)."""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2) -> np.ndarray:
+    """torchvision.utils.make_grid equivalent on NCHW float arrays."""
+    images = np.asarray(images)
+    n, c, h, w = images.shape
+    ncol = nrow
+    nr = math.ceil(n / ncol)
+    grid = np.zeros((c, nr * (h + padding) + padding,
+                     ncol * (w + padding) + padding), dtype=images.dtype)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        y = r * (h + padding) + padding
+        x = col * (w + padding) + padding
+        grid[:, y: y + h, x: x + w] = images[i]
+    return grid
+
+
+def save_image(images: np.ndarray, path: str, nrow: int = 8):
+    """Clamp to [0,1], tile, write PNG (torchvision save_image semantics)."""
+    from PIL import Image
+
+    grid = make_grid(np.clip(np.asarray(images, np.float32), 0, 1), nrow)
+    arr = (grid * 255).astype(np.uint8)
+    if arr.shape[0] == 1:
+        img = Image.fromarray(arr[0], mode="L")
+    else:
+        img = Image.fromarray(np.transpose(arr, (1, 2, 0)), mode="RGB")
+    img.save(path)
+
+
+def adjust_shape(a: np.ndarray, b: np.ndarray):
+    """Pad channels/spatial dims so two modality batches stack in one grid
+    (utils.py:324-360 equivalent)."""
+    a, b = np.asarray(a), np.asarray(b)
+    c = max(a.shape[1], b.shape[1])
+    h = max(a.shape[2], b.shape[2])
+    w = max(a.shape[3], b.shape[3])
+
+    def fix(x):
+        if x.shape[1] < c:
+            x = np.concatenate([x] + [np.zeros_like(x[:, :1])] * (c - x.shape[1]), 1)
+        ph, pw = h - x.shape[2], w - x.shape[3]
+        return np.pad(x, ((0, 0), (0, 0),
+                          (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)))
+
+    return fix(a), fix(b)
+
+
+def save_samples(data: Sequence[np.ndarray], path: str, nrow: int = 8):
+    """Two-modality sample grid (vis.py:194-204)."""
+    a, b = adjust_shape(np.asarray(data[0]), np.asarray(data[1]))
+    save_image(np.concatenate([a, b]), path, nrow=nrow)
+
+
+def reduce_latents(z: np.ndarray, dim: int = 2) -> np.ndarray:
+    """2-D embedding for latent scatter plots. PCA stand-in for UMAP
+    (multi_vaes.py:143-146)."""
+    from sklearn.decomposition import PCA
+
+    z = np.asarray(z)
+    if z.shape[1] <= dim:
+        return z
+    return PCA(n_components=dim).fit_transform(z)
+
+
+def plot_embeddings_colorbars(zxy, zx, classes0, classes1, path: str):
+    """Joint/uni embedding scatter (vis.py:38-101)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axs = plt.subplots(1, 2, figsize=(10, 4))
+    for ax, z, c in [(axs[0], zxy, classes0), (axs[1], zx, classes1)]:
+        z = np.asarray(z)
+        sc = ax.scatter(z[:, 0], z[:, 1], c=np.asarray(c) if c is not None else None,
+                        s=4, cmap="tab10")
+        fig.colorbar(sc, ax=ax)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def plot_hist(values: np.ndarray, path: str, bins: int = 30):
+    """Radius histograms for circles analytics (vis.py:178-192)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.hist(np.asarray(values).ravel(), bins=bins)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def extract_rayon(images: np.ndarray) -> np.ndarray:
+    """Estimate ring/disc radii from rasterized circles: max radial extent of
+    lit pixels (utils.py extract_rayon equivalent, used by the circles
+    analytics at main.py:204-209)."""
+    images = np.asarray(images)
+    if images.ndim == 5:
+        images = images.reshape(-1, *images.shape[2:])
+    n, c, h, w = images.shape
+    xs = np.linspace(-1, 1, w)
+    X, Y = np.meshgrid(xs, xs)
+    r = np.sqrt(X ** 2 + Y ** 2)
+    out = np.zeros(n, np.float32)
+    for i in range(n):
+        mask = images[i, 0] > 0.5
+        out[i] = r[mask].max() if mask.any() else 0.0
+    return out

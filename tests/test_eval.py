@@ -1,0 +1,150 @@
+"""Eval-layer tests: generation shapes, coherence metrics, IS likelihoods,
+GMM sampler, PRD, FID math, HMC PoE sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmvae_tpu.core.config import ExperimentConfig
+from mmvae_tpu.data import get_dataloaders
+from mmvae_tpu.eval import (
+    GaussianMixtureSampler, calculate_frechet_distance, compute_accuracies,
+    generate, sample_from_conditional,
+)
+from mmvae_tpu.eval import likelihoods as ll
+from mmvae_tpu.eval import prd
+from mmvae_tpu.models import registry
+
+
+@pytest.fixture(scope="module")
+def circles_model():
+    cfg = ExperimentConfig(
+        model="circles_squares", obj="elbo", dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=16,
+    )
+    bundle = registry.build(cfg)
+    train, test, val = get_dataloaders("circles_squares", batch_size=16,
+                                       dataset_size=20, n_repeat=2)
+    xs, labs = next(iter(train))
+    key = jax.random.PRNGKey(0)
+    variables = bundle.model.init({"params": key, "sample": key},
+                                  [jnp.asarray(x) for x in xs], K=1)
+    return bundle, variables, [jnp.asarray(x) for x in xs], labs
+
+
+def test_generate_shapes(circles_model):
+    bundle, variables, xs, _ = circles_model
+    out = generate(bundle.model, variables, jax.random.PRNGKey(1), bundle.spec, N=6)
+    assert len(out) == 2 and out[0].shape == (6, 1, 32, 32)
+
+
+def test_sample_from_conditional_shapes(circles_model):
+    bundle, variables, xs, _ = circles_model
+    bdata = [x[:4] for x in xs]
+    samples = sample_from_conditional(bundle.model, variables, bdata,
+                                      jax.random.PRNGKey(2), n=3)
+    assert samples[0][1].shape == (3, 4, 1, 32, 32)
+    assert samples[1][0].shape == (3, 4, 1, 32, 32)
+
+
+def test_compute_accuracies(circles_model):
+    bundle, variables, xs, labs = circles_model
+
+    def dummy_classifier(x):
+        # classify by mean intensity (full shapes are brighter) -> 10 logits
+        score = jnp.mean(x.reshape(x.shape[0], -1), axis=1)
+        return jnp.stack([1 - score, score] + [jnp.zeros_like(score)] * 8, axis=1)
+
+    metrics = compute_accuracies(
+        bundle.model, variables, [dummy_classifier, dummy_classifier],
+        xs, [jnp.asarray(l) for l in labs], jax.random.PRNGKey(3), bundle.spec,
+        n_data=4, ns=5,
+    )
+    assert set(metrics) == {"acc_0_1", "acc_1_0", "joint_coherence"}
+    for v in metrics.values():
+        assert 0.0 <= v <= 1.0
+
+
+def test_conditional_likelihood_runs(circles_model):
+    bundle, variables, xs, _ = circles_model
+    data = [x[:3] for x in xs]
+    metrics, lls = ll.compute_conditional_likelihood(
+        bundle.model, variables, data, 0, 1, bundle.spec,
+        jax.random.PRNGKey(4), K=20, batch_size_K=10)
+    assert lls.shape == (3,)
+    assert np.isfinite(float(metrics["cond_likelihood_0_1"]))
+
+
+def test_joint_likelihood_mmvae(circles_model):
+    bundle, variables, xs, _ = circles_model
+    data = [x[:3] for x in xs]
+    out = ll.joint_likelihood_mmvae(bundle.model, variables, data, bundle.spec,
+                                    jax.random.PRNGKey(5), K=20, batch_size_K=10)
+    assert np.isfinite(out["likelihood"])
+
+
+def test_chunked_is_matches_direct():
+    """The chunk-then-combine logsumexp (multi_vaes.py:242-248 reduction
+    order) must equal the flat logmeanexp."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (100,))
+    chunks = w.reshape(10, 10)
+    per_chunk = jax.scipy.special.logsumexp(chunks, axis=1)
+    combined = jax.scipy.special.logsumexp(per_chunk) - np.log(100)
+    direct = jax.scipy.special.logsumexp(w) - np.log(100)
+    np.testing.assert_allclose(float(combined), float(direct), rtol=1e-6)
+
+
+def test_gmm_sampler():
+    rng = np.random.default_rng(0)
+    lat = np.concatenate([rng.normal(-2, 0.1, (200, 2)), rng.normal(2, 0.1, (200, 2))])
+    s = GaussianMixtureSampler(n_components=2).fit(lat)
+    out = s.sample(100)
+    assert out.shape == (100, 2)
+    assert np.abs(np.abs(out[:, 0]).mean() - 2) < 0.5
+
+
+def test_prd_identical_distributions():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(200, 8))
+    p, r = prd.compute_prd_from_embedding(a, a.copy(), num_clusters=5, num_runs=2)
+    f8, f18 = prd.prd_to_max_f_beta_pair(p, r)
+    assert f8 > 0.9 and f18 > 0.9
+
+
+def test_frechet_distance_zero_and_positive():
+    mu = np.zeros(4)
+    sigma = np.eye(4)
+    assert calculate_frechet_distance(mu, sigma, mu, sigma) < 1e-6
+    d = calculate_frechet_distance(mu, sigma, mu + 1.0, sigma)
+    np.testing.assert_allclose(d, 4.0, rtol=1e-5)
+
+
+def test_fid_inception_shapes():
+    from mmvae_tpu.eval.fid import make_inception_fn
+
+    acts_fn = make_inception_fn()
+    acts = acts_fn(np.random.default_rng(0).uniform(size=(2, 1, 28, 28)).astype(np.float32))
+    assert acts.shape == (2, 2048)
+
+
+def test_hmc_poe_sampling():
+    from mmvae_tpu.eval.hmc import sample_from_poe_subset
+
+    cfg = ExperimentConfig(
+        model="jnf_circles_squares", obj="jmvae_nf", dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, no_nf=False, flow="maf",
+    )
+    bundle = registry.build(cfg)
+    train, _, _ = get_dataloaders("circles_squares", batch_size=8,
+                                  dataset_size=10, n_repeat=2)
+    xs, _ = next(iter(train))
+    xs = [jnp.asarray(x[:4]) for x in xs]
+    key = jax.random.PRNGKey(0)
+    variables = bundle.model.init({"params": key, "sample": key}, xs, K=1,
+                                  method="init_all")
+    z = sample_from_poe_subset(bundle.model, variables, [0, 1], xs, key,
+                               mcmc_steps=3, n_lf=2, K=2)
+    assert z.shape == (2, 4, 2)
+    assert np.isfinite(np.asarray(z)).all()
