@@ -40,6 +40,18 @@ def main(argv=None):
     cfg = ExperimentConfig.from_json(info.config_path)
     np.random.seed(cfg.seed)
 
+    # use_pretrain resume (main.py:54-62, 88-91): adopt the old run's args,
+    # extend the epoch budget, reload its checkpoint below
+    pretrained_path = cfg.use_pretrain
+    if pretrained_path:
+        new_cfg = cfg
+        cfg = ExperimentConfig.from_json(os.path.join(pretrained_path, "args.json"))
+        prev_epochs = cfg.epochs
+        cfg.epochs = prev_epochs + new_cfg.epochs
+        cfg.warmup = prev_epochs + new_cfg.warmup
+        cfg.freq_analytics = new_cfg.freq_analytics
+        cfg.use_pretrain = pretrained_path
+
     bundle = registry.build(cfg)
     mesh = make_mesh(n_data=cfg.mesh_data, n_k=cfg.mesh_k)
 
@@ -63,11 +75,41 @@ def main(argv=None):
     sig = inspect.signature(DATASETS[bundle.dataset]).parameters
     kw.update({k: v for k, v in cfg.extra.items() if k in sig})
     train_loader, test_loader, val_loader = get_dataloaders(bundle.dataset, **kw)
+
+    # use_gen warm start: append joint-encoder-generated samples to the
+    # train set (main.py:123-127)
+    if cfg.skip_warmup and cfg.use_gen:
+        from ..data.loaders import ArrayLoader, PairedDataset
+
+        pool = os.path.join(info.experiments_dir, "joint_encoders",
+                            (cfg.experiment or "default").split("/")[-1])
+        gen = [np.load(os.path.join(pool, f"generated_modality_{i}.npy"))
+               for i in range(len(bundle.shape_mods))]
+        if cfg.len_gen:
+            gen = [g[: cfg.len_gen] for g in gen]
+        ds = train_loader.dataset
+        merged = PairedDataset(
+            [np.concatenate([m, g]) for m, g in zip(ds.modalities, gen)],
+            [np.concatenate([l, np.zeros(len(gen[0]), dtype=l.dtype)])
+             for l in ds.labels],
+        )
+        train_loader = ArrayLoader(merged, cfg.batch_size, shuffle=True)
+        print(f"use_gen: appended {len(gen[0])} generated pairs")
     print(f"Train: {train_loader.num_examples}, Test: {test_loader.num_examples}, "
           f"Val: {val_loader.num_examples}")
 
     trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh, run_path=run_path)
     print(f"objective: {trainer.obj_name}")
+
+    hooks = []
+    if pretrained_path:
+        from ..train import checkpoints as ckpt
+
+        def load_pretrained(v):
+            print(f"Loading model from {pretrained_path}")
+            return ckpt.load_bytes(v, os.path.join(pretrained_path, "model.msgpack"))
+
+        hooks.append(load_pretrained)
 
     variables_hook = None
     if cfg.dcca:
@@ -75,11 +117,17 @@ def main(argv=None):
             "dcca_path", os.path.join("../experiments/dcca", bundle.dataset, "dcca.npz"))
         if os.path.exists(dcca_path):
             print(f"grafting pretrained DCCA trunks from {dcca_path}")
-            variables_hook = lambda v: registry.graft_dcca_params(  # noqa: E731
-                v, dcca_path, bundle.model)
+            hooks.append(lambda v: registry.graft_dcca_params(
+                v, dcca_path, bundle.model))
         else:
             print(f"WARNING: dcca=true but no artifacts at {dcca_path}; "
                   "trunks stay randomly initialized (frozen)")
+
+    if hooks:
+        def variables_hook(v):
+            for h in hooks:
+                v = h(v)
+            return v
 
     state = trainer.fit(train_loader, val_loader, key=jax.random.PRNGKey(cfg.seed),
                         variables_hook=variables_hook)

@@ -140,12 +140,14 @@ def _paired_from_sources(mods_train, mods_test, max_d, dm, len_train, batch_size
     if len_train is not None:
         idx_tr = tuple(i[:len_train] for i in idx_tr)
 
+    from ..native import fast_gather
+
     train_full = PairedDataset(
-        [x[i] for (x, _), i in zip(mods_train, idx_tr)],
+        [fast_gather(x, i) for (x, _), i in zip(mods_train, idx_tr)],
         [l[i] for (_, l), i in zip(mods_train, idx_tr)],
     )
     test = PairedDataset(
-        [x[i] for (x, _), i in zip(mods_test, idx_te)],
+        [fast_gather(x, i) for (x, _), i in zip(mods_test, idx_te)],
         [l[i] for (_, l), i in zip(mods_test, idx_te)],
     )
     # deterministic val split (dataloaders.py:279-282)
@@ -295,14 +297,78 @@ def chest_svhn(data_path: str = "../data", batch_size: int = 128,
     return _loaders(train, test, val, batch_size, shuffle)
 
 
+def mnist_contour(data_path: str = "../data", batch_size: int = 128,
+                  shuffle: bool = True, synthetic_n: int = 2048):
+    """MNIST_CONTOUR_DL (dataloaders.py:445-479): each image paired with its
+    Canny contour (data_utils/transforms.py:6-21)."""
+    from .transforms import canny_contour
+
+    def build(train, seed):
+        img, lab, _ = sources.load_or_synthesize(
+            lambda: sources.load_mnist(data_path, train), (1, 28, 28),
+            synthetic_n if train else synthetic_n // 4, seed)
+        return PairedDataset([img, canny_contour(img)], [lab, lab])
+
+    train_full = build(True, 1)
+    test = build(False, 2)
+    len_val = min(10000, len(train_full) // 10)
+    tr_idx, val_idx = torch_split_indices(len(train_full), [len(train_full) - len_val, len_val])
+    return _loaders(train_full.subset(tr_idx), test, train_full.subset(val_idx),
+                    batch_size, shuffle)
+
+
+def binary_mnist_svhn(data_path: str = "../data", batch_size: int = 128,
+                      shuffle: bool = True, len_train: Optional[int] = None,
+                      synthetic_n: int = 4096):
+    """BINARY_MNIST_SVHN_DL (dataloaders.py:349-393): MNIST binarized at 0.5
+    (transforms.py:32-37), same index pairing as mnist_svhn."""
+    from .transforms import binarize
+
+    train, test, val = mnist_svhn(data_path, batch_size, shuffle, len_train,
+                                  synthetic_n)
+    for loader in (train, test, val):
+        loader.dataset.modalities[0] = binarize(loader.dataset.modalities[0])
+    return train, test, val
+
+
+def mnist_oasis(data_path: str = "../data", batch_size: int = 128,
+                shuffle: bool = True, synthetic_n: int = 2048,
+                oasis_dim: int = 2000):
+    """MNIST_OASIS_DL (dataloaders.py:395-442): MNIST digits paired with
+    flat OASIS MRI feature vectors (binary dementia classes). Real OASIS
+    data is access-restricted; synthetic stand-ins keep the pipeline
+    runnable."""
+    rng = np.random.default_rng(9)
+
+    def build(train, seed):
+        img, lab, _ = sources.load_or_synthesize(
+            lambda: sources.load_mnist(data_path, train), (1, 28, 28),
+            synthetic_n if train else synthetic_n // 4, seed)
+        lab2 = (lab % 2).astype(np.int64)
+        proto = rng.normal(size=(2, oasis_dim)).astype(np.float32)
+        oasis = 1 / (1 + np.exp(-(proto[lab2] + 0.3 * rng.normal(
+            size=(len(lab2), oasis_dim)).astype(np.float32))))
+        return PairedDataset([img, oasis], [lab2, lab2])
+
+    train_full = build(True, 1)
+    test = build(False, 2)
+    len_val = min(10000, len(train_full) // 10)
+    tr_idx, val_idx = torch_split_indices(len(train_full), [len(train_full) - len_val, len_val])
+    return _loaders(train_full.subset(tr_idx), test, train_full.subset(val_idx),
+                    batch_size, shuffle)
+
+
 DATASETS = {
     "circles_squares": circles_squares,
     "mnist_svhn": mnist_svhn,
+    "binary_mnist_svhn": binary_mnist_svhn,
     "mnist_fashion": mnist_fashion,
+    "mnist_contour": mnist_contour,
     "mnist_svhn_fashion": mnist_svhn_fashion,
     "medmnist": medmnist_pairs,
     "celeba": celeba,
     "chest_svhn": chest_svhn,
+    "mnist_oasis": mnist_oasis,
 }
 
 

@@ -36,6 +36,7 @@ class _ARFlowBase(nn.Module):
     n_hidden_in_made: int = 3
     hidden_size: int = 128
     include_batch_norm: bool = False
+    use_fused: bool = True  # Pallas fused solve for the sequential direction
 
     def setup(self):
         self.mades = [
@@ -75,8 +76,15 @@ class _ARFlowBase(nn.Module):
         sign=+1: y_i = v_i * exp(s_i(y)) + mu_i(y)     (MAF sampling dir)
 
         MADE outputs at dim i depend only on inputs < i, so feeding the
-        partially-built y is exact. Unrolled over the (static) latent dim.
+        partially-built y is exact. Runs as ONE fused Pallas kernel
+        (ops/ar_flow.py) keeping the whole D-step solve in VMEM; falls back
+        to the unrolled form when use_fused=False.
         """
+        if self.use_fused:
+            from ..ops.ar_flow import ar_solve
+
+            ws, bs = made.masked_layer_params()
+            return ar_solve(v, ws, bs, sign)
         y = jnp.zeros_like(v)
         logdet = jnp.zeros(v.shape[:-1], dtype=v.dtype)
         for i in range(self.features):

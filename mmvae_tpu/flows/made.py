@@ -40,21 +40,30 @@ def build_masks(features: int, hidden_sizes: Sequence[int]):
 
 
 class MaskedDense(nn.Module):
-    """Dense layer with a constant binary mask on the kernel (layers.py:14-25)."""
+    """Dense layer with a constant binary mask on the kernel (layers.py:14-25).
+
+    setup-style so parents can read `kernel`/`bias` directly (the fused
+    Pallas autoregressive solve premultiplies masks and takes raw weights).
+    """
 
     features: int
+    in_features: int
     mask: np.ndarray  # (in, out)
 
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param(
+    def setup(self):
+        self.kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features),
+            (self.in_features, self.features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return x @ (jnp.asarray(self.mask) * kernel) + bias
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def masked_kernel(self):
+        return jnp.asarray(self.mask) * self.kernel
+
+    def __call__(self, x):
+        return x @ self.masked_kernel() + self.bias
 
 
 class MADE(nn.Module):
@@ -66,15 +75,26 @@ class MADE(nn.Module):
     def setup(self):
         masks, out_mask = build_masks(self.features, tuple(self.hidden_sizes))
         layers = []
+        in_f = self.features
         for i, (h, m) in enumerate(zip(self.hidden_sizes, masks)):
-            layers.append(MaskedDense(features=h, mask=m, name=f"hidden_{i}"))
+            layers.append(MaskedDense(features=h, in_features=in_f, mask=m,
+                                      name=f"hidden_{i}"))
+            in_f = h
         self.hidden_layers = layers
         # [mu, log_var] heads share the strict mask (made_model.py:58-64)
         self.out_layer = MaskedDense(
             features=2 * self.features,
+            in_features=in_f,
             mask=np.concatenate([out_mask, out_mask], axis=1),
             name="out",
         )
+
+    def masked_layer_params(self):
+        """[(masked_kernel, bias)] for hidden layers + output layer, for the
+        fused Pallas solve."""
+        ws = [l.masked_kernel() for l in self.hidden_layers] + [self.out_layer.masked_kernel()]
+        bs = [l.bias for l in self.hidden_layers] + [self.out_layer.bias]
+        return ws, bs
 
     def __call__(self, x):
         h = x

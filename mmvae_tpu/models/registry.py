@@ -565,7 +565,7 @@ def jnf_mnist_contour(cfg: ExperimentConfig) -> ModelBundle:
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0),
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
-    return ModelBundle(model, spec, "mnist_fashion", ((1, 28, 28), (1, 28, 28)),
+    return ModelBundle(model, spec, "mnist_contour", ((1, 28, 28), (1, 28, 28)),
                        "jmvae_nf_mnist_contour", ("mnist", "mnist"))
 
 

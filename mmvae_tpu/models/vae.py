@@ -64,6 +64,16 @@ class UnimodalVAE(nn.Module):
             return z0, jnp.zeros(z0.shape[:-1], dtype=z0.dtype)
         return self.flow.inverse(z0, train=train)
 
+    def encode_and_sample(self, x, K: int = 1, train: bool = False):
+        """Posterior params + K samples, split from decoding so the unimodal
+        DReG objective can reweight z-gradients (objectives.py:46-69)."""
+        mu, log_var = self.encode(x, train=train)
+        std = self.posterior_std(log_var)
+        key = self.make_rng("sample")
+        z0 = D.sample(self.posterior, LocScale(mu, std), key, (K,))
+        z, ldj = self.flow_inverse(z0, train=train)
+        return (mu, std), z, ldj
+
     def __call__(self, x, K: int = 1, train: bool = False):
         """Full forward pass, the equivalent of my_VAE.forward /
         my_VAE_IAF.forward. Encoding runs once; K samples are drawn from the

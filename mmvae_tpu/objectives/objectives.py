@@ -118,6 +118,41 @@ def iwae(model, variables, x, key, spec, K=1, train=True, **kw):
     return jnp.sum(log_mean_exp(lw, axis=0)), {}, state
 
 
+def dreg(model, variables, x, key, spec, K=1, train=True, **kw):
+    """Unimodal DReG (objectives.py:46-69): detached posterior params +
+    z-gradient reweighting, assembled with the same two-stage VJP as the
+    multimodal variant."""
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def stage1(p):
+        ((mu, std), zs, ldj), st1 = _apply(
+            model, {"params": p, **rest}, key, "encode_and_sample", x,
+            K=K, train=train,
+        )
+        return zs, ((mu, std), st1)
+
+    zs, vjp1, ((mu, std), st1) = jax.vjp(stage1, params, has_aux=True)
+    mu_d, std_d = jax.lax.stop_gradient((mu, std))
+
+    def stage2(p, z):
+        recon, st2 = _apply(model, {"params": p, **rest}, key, "decode", z,
+                            train=train)
+        lpz = jnp.sum(D.log_prob(spec.posterior, prior(spec), z), axis=-1)
+        lpx = recon_log_prob(spec.recon_dists[0], recon, x, 2) * spec.llik_scaling
+        lqz = jnp.sum(D.log_prob(spec.posterior, LocScale(mu_d, std_d), z), axis=-1)
+        return lpz + lpx - lqz, st2
+
+    lw, vjp2, st2 = jax.vjp(stage2, params, zs, has_aux=True)
+    w = jax.lax.stop_gradient(jax.nn.softmax(lw, axis=0))
+    obj = jnp.sum(w * lw)
+    gp2, gz = vjp2(w)
+    gz = gz * w[..., None]
+    (gp1,) = vjp1(gz)
+    grads = jax.tree.map(jnp.add, gp1, gp2)
+    return obj, {}, {**st1, **st2}, grads
+
+
 # ===========================================================================
 # Multimodal ELBOs (objectives.py:73-111)
 # ===========================================================================
@@ -579,6 +614,7 @@ OBJECTIVES = {
 
 # Objectives that assemble their own gradients (return 4-tuple incl. grads)
 CUSTOM_GRAD_OBJECTIVES = {
+    "dreg": dreg,
     "m_dreg": m_dreg,
     "m_dreg_looser": m_dreg_looser,
 }

@@ -1,0 +1,105 @@
+"""Data layer: pairing determinism, split reproducibility, builder
+semantics, native gather correctness, transforms."""
+
+import numpy as np
+import pytest
+
+from mmvae_tpu.data import get_dataloaders, pairing, synthetic, torch_split_indices
+from mmvae_tpu.data.transforms import binarize, canny_contour
+from mmvae_tpu.native import fast_gather, gather_u8_to_f32
+
+
+def test_rand_match_on_idx_class_matched():
+    rng = np.random.default_rng(0)
+    l1 = rng.integers(0, 5, 500)
+    l2 = rng.integers(0, 5, 600)
+    i1, i2 = pairing.rand_match_on_idx([l1, l2], max_d=50, dm=3, seed=0)
+    assert len(i1) == len(i2)
+    # pairing must be class-matched (make-mnist-svhn-idx.py semantics)
+    np.testing.assert_array_equal(l1[i1], l2[i2])
+    # deterministic
+    j1, j2 = pairing.rand_match_on_idx([l1, l2], max_d=50, dm=3, seed=0)
+    np.testing.assert_array_equal(i1, j1)
+
+
+def test_rand_match_trimodal():
+    rng = np.random.default_rng(1)
+    ls = [rng.integers(0, 3, n) for n in (200, 300, 250)]
+    idx = pairing.rand_match_on_idx(ls, max_d=40, dm=2, seed=1)
+    assert len(idx) == 3
+    np.testing.assert_array_equal(ls[0][idx[0]], ls[1][idx[1]])
+    np.testing.assert_array_equal(ls[0][idx[0]], ls[2][idx[2]])
+
+
+def test_correspondence_pairing():
+    rng = np.random.default_rng(2)
+    l1 = rng.integers(0, 3, 400)
+    l2 = rng.integers(0, 10, 500)
+    i1, i2 = pairing.rand_match_on_correspondence(
+        l1, l2, pairing.MNIST_FASHION_CORRESPONDENCE, max_d=30, dm=2, seed=0)
+    corr = pairing.MNIST_FASHION_CORRESPONDENCE
+    for a, b in zip(l1[i1], l2[i2]):
+        assert b in corr[a]
+
+
+def test_medmnist_remap():
+    labels = np.array([0, 1, 2, 6, 1, 6, 3])
+    keep, new = pairing.remap_medmnist_blood_labels(labels)
+    np.testing.assert_array_equal(labels[keep], [1, 6, 1, 6])
+    np.testing.assert_array_equal(new, [0, 1, 0, 1])
+
+
+def test_torch_split_deterministic():
+    a = torch_split_indices(100, [70, 30], seed=42)
+    b = torch_split_indices(100, [70, 30], seed=42)
+    np.testing.assert_array_equal(a[0], b[0])
+    assert len(set(a[0]) | set(a[1])) == 100
+
+
+def test_circles_squares_builder():
+    d = synthetic.make_circles_squares(dataset_size=20, n_repeat=2, seed=0)
+    assert d["squares_train"].shape[1:] == (1, 32, 32)
+    # label 1 = full shapes: full discs have larger lit area than rings
+    full = d["circles_train"][d["labels_train"] == 1]
+    empty = d["circles_train"][d["labels_train"] == 0]
+    assert full.mean() > empty.mean()
+    # radii recorded per pair
+    assert len(d["r_circles_train"]) == len(d["circles_train"])
+
+
+def test_loaders_shapes_and_determinism():
+    t1, te1, v1 = get_dataloaders("circles_squares", batch_size=16,
+                                  dataset_size=20, n_repeat=2)
+    t2, te2, v2 = get_dataloaders("circles_squares", batch_size=16,
+                                  dataset_size=20, n_repeat=2)
+    np.testing.assert_array_equal(v1.dataset.modalities[0], v2.dataset.modalities[0])
+    xs, labs = next(iter(te1))
+    assert xs[0].shape[1:] == xs[1].shape[1:] == (1, 32, 32)
+
+
+def test_mnist_svhn_synthetic_pipeline():
+    train, test, val = get_dataloaders("mnist_svhn", batch_size=32, synthetic_n=256)
+    xs, labs = next(iter(train))
+    assert xs[0].shape == (32, 1, 28, 28) and xs[1].shape == (32, 3, 32, 32)
+    # paired labels must agree (class-matched pairing)
+    np.testing.assert_array_equal(labs[0], labs[1])
+
+
+def test_native_gather_matches_numpy():
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(100, 7)).astype(np.float32)
+    idx = rng.integers(0, 100, 333)
+    np.testing.assert_array_equal(fast_gather(arr, idx), arr[idx])
+    u8 = (rng.uniform(size=(50, 4, 5)) * 255).astype(np.uint8)
+    got = gather_u8_to_f32(u8, idx % 50)
+    np.testing.assert_allclose(got, u8[idx % 50].astype(np.float32) / 255.0,
+                               rtol=1e-6)
+
+
+def test_transforms():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(3, 1, 28, 28)).astype(np.float32)
+    b = binarize(img)
+    assert set(np.unique(b)) <= {0.0, 1.0}
+    c = canny_contour(img)
+    assert c.shape == img.shape and set(np.unique(c)) <= {0.0, 1.0}

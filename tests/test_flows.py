@@ -55,7 +55,10 @@ def test_roundtrip(flow_cls):
 
 @pytest.mark.parametrize("flow_cls", [IAF, MAF])
 def test_logdet_matches_jacobian(flow_cls):
-    flow = flow_cls(features=D, n_made_blocks=2, n_hidden_in_made=2, hidden_size=32)
+    # use_fused=False: jacfwd cannot pass through the fused solve's
+    # custom_vjp; fused/unrolled equivalence is covered in test_ops.py
+    flow = flow_cls(features=D, n_made_blocks=2, n_hidden_in_made=2,
+                    hidden_size=32, use_fused=False)
     v = _init(flow, jax.random.PRNGKey(3))
     x = jax.random.normal(jax.random.PRNGKey(4), (D,))
 
