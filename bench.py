@@ -31,11 +31,17 @@ def log(*a):
 # JAX/TPU measurement
 # ---------------------------------------------------------------------------
 
-def measure_tpu(steps: int = 20, warmup: int = 3) -> float:
+def measure_tpu(steps: int = 50, warmup: int = 3) -> float:
+    """End-to-end train-step throughput WITH the fused on-device input
+    pipeline: per step the host ships only a (B,) int32 index batch; the
+    index-pair gather + uint8 decode + normalize run inside the jitted step
+    (data/device_pipeline.py — the BASELINE north-star input stage)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from mmvae_tpu.core.config import ExperimentConfig
+    from mmvae_tpu.data.device_pipeline import DeviceDataPipeline
     from mmvae_tpu.models import registry
     from mmvae_tpu.train import Trainer
 
@@ -47,35 +53,51 @@ def measure_tpu(steps: int = 20, warmup: int = 3) -> float:
     bundle = registry.build(cfg)
     trainer = Trainer(bundle.model, bundle.spec, cfg)
 
-    key = jax.random.PRNGKey(0)
-    xk = jax.random.split(key, 3)
-    xs = [
-        jax.random.uniform(xk[0], (BATCH, 1, 28, 28), jnp.float32),
-        jax.random.uniform(xk[1], (BATCH, 3, 32, 32), jnp.float32),
+    rng = np.random.default_rng(0)
+    n_base = 8192
+    base = [
+        (rng.uniform(size=(n_base, 1, 28, 28)) * 255).astype(np.uint8),
+        (rng.uniform(size=(n_base, 3, 32, 32)) * 255).astype(np.uint8),
     ]
-    variables = trainer.init_variables(xs, key)
+    n_pairs = 4 * n_base
+    pair_idx = [rng.integers(0, n_base, n_pairs).astype(np.int32) for _ in range(2)]
+    pipeline = DeviceDataPipeline(base, pair_idx, BATCH, shuffle=True)
+
+    key = jax.random.PRNGKey(0)
+    xs0 = [np.zeros((BATCH, 1, 28, 28), np.float32),
+           np.zeros((BATCH, 3, 32, 32), np.float32)]
+    variables = trainer.init_variables(xs0, key)
     opt_state = trainer.init_opt_state(variables)
-    step = trainer.train_step(past_warmup=True)
+    # scan `steps` train steps per dispatch: pre-staged index batches, the
+    # index-pair gather + uint8 decode inside the jitted chunk
+    chunk = trainer.device_multi_step(past_warmup=True, pipeline=pipeline,
+                                      n_steps=steps)
 
     lr = jnp.float32(1e-3)
     one = jnp.float32(1.0)
 
+    def epoch_rows():
+        it = pipeline.epoch_index_batches()
+        return jnp.asarray(np.stack([next(it) for _ in range(steps)]))
+
     t0 = time.time()
-    for i in range(warmup):
-        variables, opt_state, loss, _ = step(variables, opt_state, xs,
-                                             jax.random.fold_in(key, i), lr, one, one)
+    variables, opt_state, loss, _ = chunk(variables, opt_state, epoch_rows(),
+                                          key, lr, one, one)
     jax.block_until_ready(loss)
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    for i in range(steps):
-        variables, opt_state, loss, _ = step(variables, opt_state, xs,
-                                             jax.random.fold_in(key, 100 + i), lr, one, one)
+    n_chunks = 3
+    for i in range(n_chunks):
+        variables, opt_state, loss, _ = chunk(
+            variables, opt_state, epoch_rows(),
+            jax.random.fold_in(key, 100 + i), lr, one, one)
     jax.block_until_ready(loss)
     dt = time.time() - t0
-    sps = BATCH * steps / dt
-    log(f"tpu: {steps} steps in {dt:.2f}s -> {sps:.1f} paired samples/s "
-        f"(loss {float(loss):.1f}, devices {jax.devices()})")
+    sps = BATCH * steps * n_chunks / dt
+    log(f"tpu (fused input pipeline, scanned): {steps * n_chunks} steps in "
+        f"{dt:.2f}s -> {sps:.1f} paired samples/s "
+        f"(devices {jax.devices()})")
     return sps
 
 

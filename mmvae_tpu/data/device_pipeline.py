@@ -1,0 +1,95 @@
+"""Device-resident input pipeline — the BASELINE north star's "fused JAX
+preprocessing stage (decode/normalize/index-pair on device)".
+
+The reference's input path is CPU DataLoader workers -> per-batch host->
+device copies (utils.py:108-127, dataloaders.py:286-289). Here the full
+(deduplicated) base modality arrays live in HBM once — as uint8 when they
+came from 8-bit sources — and each training step receives only a batch of
+int32 pair indices; the gather through the pairing tables and the
+uint8->float normalization happen inside the jitted step, fused by XLA
+with the encoder's first layer. Host->device traffic per step: B*4 bytes
+per modality instead of B*event_size*4.
+
+For multi-device meshes the index array is sharded over 'data'; the base
+arrays are replicated (they are small — MNIST+SVHN ~230MB as uint8).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceDataPipeline:
+    """Holds base modality arrays + pairing index tables on device and
+    yields per-step index batches."""
+
+    def __init__(self, base_arrays: Sequence[np.ndarray],
+                 pair_indices: Sequence[np.ndarray],
+                 batch_size: int, shuffle: bool = True, seed: int = 0,
+                 store_uint8: bool = True, mesh=None):
+        assert len(base_arrays) == len(pair_indices)
+        self.n_mod = len(base_arrays)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self.n_pairs = len(pair_indices[0])
+        self.mesh = mesh
+
+        self.device_arrays = []
+        self.is_uint8 = []
+        for arr in base_arrays:
+            if store_uint8 and arr.dtype == np.float32 and arr.max() <= 1.0:
+                dev = jnp.asarray((arr * 255).round().astype(np.uint8))
+                self.is_uint8.append(True)
+            elif arr.dtype == np.uint8:
+                dev = jnp.asarray(arr)
+                self.is_uint8.append(True)
+            else:
+                dev = jnp.asarray(arr)
+                self.is_uint8.append(False)
+            self.device_arrays.append(dev)
+        self.pair_indices = [jnp.asarray(i.astype(np.int32)) for i in pair_indices]
+
+    def __len__(self):
+        return self.n_pairs // self.batch_size
+
+    @property
+    def num_examples(self):
+        return self.n_pairs
+
+    def epoch_index_batches(self):
+        """Host-side: per-step arrays of pair-row ids (int32)."""
+        order = (self._rng.permutation(self.n_pairs) if self.shuffle
+                 else np.arange(self.n_pairs)).astype(np.int32)
+        stop = self.n_pairs - self.n_pairs % self.batch_size
+        for s in range(0, stop, self.batch_size):
+            yield order[s: s + self.batch_size]
+
+    def gather_fn(self):
+        """Pure fn(pair_rows) -> [x_m] for use INSIDE a jitted train step:
+        index-pair gather + uint8 decode + [0,1] normalize, fused by XLA."""
+        arrays = self.device_arrays
+        tables = self.pair_indices
+        flags = tuple(self.is_uint8)
+
+        def gather(pair_rows):
+            out = []
+            for arr, table, u8 in zip(arrays, tables, flags):
+                rows = jnp.take(table, pair_rows, axis=0)
+                x = jnp.take(arr, rows, axis=0)
+                if u8:
+                    x = x.astype(jnp.float32) * (1.0 / 255.0)
+                out.append(x)
+            return out
+
+        return gather
+
+
+def from_paired_sources(mods: Sequence, idx: Sequence[np.ndarray],
+                        batch_size: int, **kw) -> DeviceDataPipeline:
+    """Build from (array, labels) tuples + pairing index arrays."""
+    return DeviceDataPipeline([m[0] for m in mods], list(idx), batch_size, **kw)

@@ -123,7 +123,7 @@ class Trainer:
             variables = {**variables, "params": params, **new_state}
             return variables, opt_state, -obj, details
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
 
     def _build_eval_step(self, past_warmup: bool):
         model, spec, obj_fn = self.model, self.spec, self.obj_fn
@@ -141,8 +141,72 @@ class Trainer:
 
     def train_step(self, past_warmup: bool):
         if past_warmup not in self._step_cache:
-            self._step_cache[past_warmup] = self._build_train_step(past_warmup)
+            self._step_cache[past_warmup] = jax.jit(
+                self._build_train_step(past_warmup), donate_argnums=(0, 1))
         return self._step_cache[past_warmup]
+
+    def device_train_step(self, past_warmup: bool, pipeline):
+        """Train step taking int32 pair-row indices; the index-pair gather +
+        uint8 decode + normalize run INSIDE the jitted step (the fused
+        on-device input stage, data/device_pipeline.py). Host->device
+        traffic per step is just the index batch."""
+        key_ = ("device", past_warmup, id(pipeline))
+        if key_ not in self._step_cache:
+            inner = self._build_train_step(past_warmup)
+            gather = pipeline.gather_fn()
+
+            def step(variables, opt_state, pair_rows, key, lr, beta_kl, epoch):
+                xs = gather(pair_rows)
+                return inner(variables, opt_state, xs, key, lr, beta_kl, epoch)
+
+            self._step_cache[key_] = jax.jit(step, donate_argnums=(0, 1))
+        return self._step_cache[key_]
+
+    def device_multi_step(self, past_warmup: bool, pipeline, n_steps: int):
+        """lax.scan over n_steps train steps with pre-staged index batches:
+        ONE dispatch per chunk instead of one per step — dispatch latency
+        (which dominates on tethered/tunneled chips) is amortized away.
+        Takes rows of shape (n_steps, B); returns summed loss and summed
+        details."""
+        key_ = ("device_scan", past_warmup, id(pipeline), n_steps)
+        if key_ not in self._step_cache:
+            inner = self._build_train_step(past_warmup)
+            gather = pipeline.gather_fn()
+
+            def chunk(variables, opt_state, rows, key, lr, beta_kl, epoch):
+                def body(carry, inp):
+                    variables, opt_state = carry
+                    rows_i, key_i = inp
+                    xs = gather(rows_i)
+                    variables, opt_state, loss, details = inner(
+                        variables, opt_state, xs, key_i, lr, beta_kl, epoch)
+                    return (variables, opt_state), (loss, details)
+
+                keys = jax.random.split(key, rows.shape[0])
+                (variables, opt_state), (losses, details) = jax.lax.scan(
+                    body, (variables, opt_state), (rows, keys))
+                details = jax.tree.map(jnp.sum, details)
+                return variables, opt_state, jnp.sum(losses), details
+
+            self._step_cache[key_] = jax.jit(chunk, donate_argnums=(0, 1))
+        return self._step_cache[key_]
+
+    def run_epoch_device(self, state: TrainerState, pipeline, key, lr, beta_kl,
+                         epoch: int = 1):
+        past_warmup = epoch >= self.cfg.warmup
+        step = self.device_train_step(past_warmup, pipeline)
+        total = 0.0
+        agg: Dict[str, float] = {}
+        for i, rows in enumerate(pipeline.epoch_index_batches()):
+            k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
+            state.variables, state.opt_state, loss, details = step(
+                state.variables, state.opt_state, jnp.asarray(rows), k,
+                jnp.float32(lr), jnp.float32(beta_kl), jnp.float32(epoch),
+            )
+            total += float(loss)
+            _accumulate(agg, details)
+        n = pipeline.num_examples
+        return total / n, {k2: v / n for k2, v in agg.items()}
 
     def eval_step(self, past_warmup: bool):
         if past_warmup not in self._eval_cache:
