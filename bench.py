@@ -31,7 +31,7 @@ def log(*a):
 # JAX/TPU measurement
 # ---------------------------------------------------------------------------
 
-def measure_tpu(steps: int = 50, warmup: int = 3) -> float:
+def measure_tpu(steps: int = 100, warmup: int = 3) -> float:
     """End-to-end train-step throughput WITH the fused on-device input
     pipeline: per step the host ships only a (B,) int32 index batch; the
     index-pair gather + uint8 decode + normalize run inside the jitted step
@@ -68,36 +68,32 @@ def measure_tpu(steps: int = 50, warmup: int = 3) -> float:
            np.zeros((BATCH, 3, 32, 32), np.float32)]
     variables = trainer.init_variables(xs0, key)
     opt_state = trainer.init_opt_state(variables)
-    # scan `steps` train steps per dispatch: pre-staged index batches, the
-    # index-pair gather + uint8 decode inside the jitted chunk
-    chunk = trainer.device_multi_step(past_warmup=True, pipeline=pipeline,
-                                      n_steps=steps)
+    # device-counter step: identical program every dispatch, all-on-device
+    # args -> host enqueues asynchronously with zero per-step transfers
+    step = trainer.device_counter_step(past_warmup=True, pipeline=pipeline)
 
     lr = jnp.float32(1e-3)
     one = jnp.float32(1.0)
-
-    def epoch_rows():
-        it = pipeline.epoch_index_batches()
-        return jnp.asarray(np.stack([next(it) for _ in range(steps)]))
+    it = pipeline.epoch_index_batches()
+    rows_dev = jnp.asarray(np.stack([next(it) for _ in range(warmup + steps)]))
+    counter = jnp.int32(0)
 
     t0 = time.time()
-    variables, opt_state, loss, _ = chunk(variables, opt_state, epoch_rows(),
-                                          key, lr, one, one)
+    for _ in range(warmup):
+        variables, opt_state, counter, loss, _ = step(
+            variables, opt_state, rows_dev, counter, key, lr, one, one)
     jax.block_until_ready(loss)
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    n_chunks = 3
-    for i in range(n_chunks):
-        variables, opt_state, loss, _ = chunk(
-            variables, opt_state, epoch_rows(),
-            jax.random.fold_in(key, 100 + i), lr, one, one)
+    for _ in range(steps):
+        variables, opt_state, counter, loss, _ = step(
+            variables, opt_state, rows_dev, counter, key, lr, one, one)
     jax.block_until_ready(loss)
     dt = time.time() - t0
-    sps = BATCH * steps * n_chunks / dt
-    log(f"tpu (fused input pipeline, scanned): {steps * n_chunks} steps in "
-        f"{dt:.2f}s -> {sps:.1f} paired samples/s "
-        f"(devices {jax.devices()})")
+    sps = BATCH * steps / dt
+    log(f"tpu (fused on-device input pipeline): {steps} steps in {dt:.2f}s -> "
+        f"{sps:.1f} paired samples/s (devices {jax.devices()})")
     return sps
 
 

@@ -129,8 +129,44 @@ def main(argv=None):
                 v = h(v)
             return v
 
+    callbacks = []
+    if not cfg.no_analytics:
+        from ..eval.generation import generate, sample_from_conditional
+        from ..vis import adjust_shape, save_image, save_samples
+        import jax.numpy as jnp
+
+        val_xs, _ = next(iter(val_loader))
+        val_xs = [jnp.asarray(x[:8]) for x in val_xs]
+
+        def analytics(trainer_, state_, epoch, tr_det, va_det):
+            """Per-epoch image grids (main.py:195-209): conditional samples,
+            reconstructions, prior generations."""
+            if epoch % cfg.freq_analytics != 0 and epoch != 1:
+                return
+            akey = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 7000 + epoch)
+            try:
+                samples = sample_from_conditional(
+                    bundle.model, state_.variables, val_xs, akey, n=8)
+                for r in range(len(val_xs)):
+                    for o in range(len(val_xs)):
+                        recon = np.asarray(samples[r][o]).reshape(
+                            -1, *samples[r][o].shape[2:])
+                        a, b = adjust_shape(np.asarray(val_xs[r]), recon)
+                        save_image(np.concatenate([a, b]),
+                                   os.path.join(run_path,
+                                                f"cond_samples_{r}x{o}_{epoch:03d}.png"))
+                gen = generate(bundle.model, state_.variables, akey,
+                               bundle.spec, N=32)
+                if len(gen) >= 2:
+                    save_samples([np.asarray(g) for g in gen[:2]],
+                                 os.path.join(run_path, f"generate_{epoch:03d}.png"))
+            except Exception as e:  # analytics must never kill training
+                print(f"[analytics] skipped at epoch {epoch}: {e}")
+
+        callbacks.append(analytics)
+
     state = trainer.fit(train_loader, val_loader, key=jax.random.PRNGKey(cfg.seed),
-                        variables_hook=variables_hook)
+                        variables_hook=variables_hook, callbacks=callbacks)
 
     with open(os.path.join(run_path, "losses.json"), "w") as f:
         json.dump(getattr(trainer, "_history", {}), f)

@@ -162,6 +162,30 @@ class Trainer:
             self._step_cache[key_] = jax.jit(step, donate_argnums=(0, 1))
         return self._step_cache[key_]
 
+    def device_counter_step(self, past_warmup: bool, pipeline):
+        """Train step taking the WHOLE epoch's pre-staged index table plus a
+        device-resident step counter: every dispatch runs the identical
+        program on on-device arguments, so the host enqueues steps
+        asynchronously with zero per-step transfers or recompiles (a python
+        `rows[i]` slice would compile a distinct program per i)."""
+        key_ = ("device_counter", past_warmup, id(pipeline))
+        if key_ not in self._step_cache:
+            inner = self._build_train_step(past_warmup)
+            gather = pipeline.gather_fn()
+
+            def step(variables, opt_state, rows_all, counter, key, lr,
+                     beta_kl, epoch):
+                rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
+                                                    keepdims=False)
+                xs = gather(rows)
+                variables, opt_state, loss, details = inner(
+                    variables, opt_state, xs, jax.random.fold_in(key, counter),
+                    lr, beta_kl, epoch)
+                return variables, opt_state, counter + 1, loss, details
+
+            self._step_cache[key_] = jax.jit(step, donate_argnums=(0, 1))
+        return self._step_cache[key_]
+
     def device_multi_step(self, past_warmup: bool, pipeline, n_steps: int):
         """lax.scan over n_steps train steps with pre-staged index batches:
         ONE dispatch per chunk instead of one per step — dispatch latency
@@ -193,20 +217,28 @@ class Trainer:
 
     def run_epoch_device(self, state: TrainerState, pipeline, key, lr, beta_kl,
                          epoch: int = 1):
+        """Device-pipeline epoch: the WHOLE epoch's shuffled index batches are
+        staged on device in one transfer; each step slices its row batch
+        on-device, so per-step dispatches stay asynchronous (a per-step
+        host->device transfer would serialize the pipeline — measured 10x
+        slower on tunneled chips)."""
         past_warmup = epoch >= self.cfg.warmup
-        step = self.device_train_step(past_warmup, pipeline)
-        total = 0.0
+        step = self.device_counter_step(past_warmup, pipeline)
         agg: Dict[str, float] = {}
-        for i, rows in enumerate(pipeline.epoch_index_batches()):
-            k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
-            state.variables, state.opt_state, loss, details = step(
-                state.variables, state.opt_state, jnp.asarray(rows), k,
+        rows_dev = jnp.asarray(np.stack(list(pipeline.epoch_index_batches())))
+        counter = jnp.int32(0)
+        ekey = jax.random.fold_in(key, epoch)
+        losses = []
+        for _ in range(rows_dev.shape[0]):
+            (state.variables, state.opt_state, counter, loss, details) = step(
+                state.variables, state.opt_state, rows_dev, counter, ekey,
                 jnp.float32(lr), jnp.float32(beta_kl), jnp.float32(epoch),
             )
-            total += float(loss)
+            losses.append(loss)
             _accumulate(agg, details)
+        total = float(jnp.sum(jnp.stack(losses)))
         n = pipeline.num_examples
-        return total / n, {k2: v / n for k2, v in agg.items()}
+        return total / n, {k2: float(v) / n for k2, v in agg.items()}
 
     def eval_step(self, past_warmup: bool):
         if past_warmup not in self._eval_cache:
