@@ -47,6 +47,10 @@ def _flow(cfg: ExperimentConfig, name: str):
     jmvae_nf_circles.py:51 n_made_blocks=2 default for MAF)."""
     if cfg.no_nf:
         return None
+    if cfg.flow == "lin_nf":
+        from ..flows import LinearNF
+
+        return LinearNF(features=cfg.latent_dim, name=name)
     n_blocks = cfg.n_made_blocks if cfg.n_made_blocks is not None else 2
     flow_cls = IAF if cfg.flow == "iaf" else MAF
     return flow_cls(features=cfg.latent_dim, n_made_blocks=n_blocks, name=name)

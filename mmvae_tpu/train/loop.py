@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from collections import defaultdict
 from typing import Any, Callable, Dict, List, Optional
@@ -319,10 +320,20 @@ class Trainer:
                 best_loss = math.inf
 
             t0 = time.time()
-            tr_loss, tr_details = self.run_epoch(
-                state, train_loader, train_key, plateau.lr, beta_sched.value,
-                train=True, epoch=epoch,
-            )
+            profile_dir = os.environ.get("MMVAE_TPU_PROFILE")
+            if profile_dir and epoch == min_epoch + 1:
+                # first-class step tracing (SURVEY §5 aux-subsystems gap):
+                # capture one post-compile epoch with jax.profiler
+                with jax.profiler.trace(profile_dir):
+                    tr_loss, tr_details = self.run_epoch(
+                        state, train_loader, train_key, plateau.lr,
+                        beta_sched.value, train=True, epoch=epoch)
+                self.log(f"profiler trace written to {profile_dir}")
+            else:
+                tr_loss, tr_details = self.run_epoch(
+                    state, train_loader, train_key, plateau.lr, beta_sched.value,
+                    train=True, epoch=epoch,
+                )
             beta_sched.step(epoch)
             va_loss, va_details = self.run_epoch(
                 state, val_loader, jax.random.fold_in(train_key, 0x7FFFFFFF),

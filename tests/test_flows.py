@@ -114,3 +114,16 @@ def test_vae_identity_flow():
     # no flow: z == z0, ldj == 0 (vae_model_adapted.py:126-131)
     np.testing.assert_array_equal(np.asarray(out["z"]), np.asarray(out["z0"]))
     assert np.all(np.asarray(out["log_abs_det_jac"]) == 0)
+
+
+def test_linear_nf_logdet():
+    """Planar/radial stack (my_VAE_LinNF flows): log-det vs autodiff."""
+    from mmvae_tpu.flows import LinearNF
+
+    f = LinearNF(features=4)
+    v = f.init(jax.random.PRNGKey(0), jnp.zeros((2, 4)))
+    z = jax.random.normal(jax.random.PRNGKey(1), (4,))
+    zk, ld = f.apply(v, z[None, :], method="inverse")
+    jac = jax.jacfwd(lambda zz: f.apply(v, zz[None, :], method="inverse")[0][0])(z)
+    _, lad = np.linalg.slogdet(np.asarray(jac))
+    np.testing.assert_allclose(float(ld[0]), lad, rtol=1e-4, atol=1e-5)
