@@ -158,13 +158,17 @@ def train_classifier(arch: nn.Module, images: np.ndarray, labels: np.ndarray,
 
 
 def make_apply(arch: nn.Module, variables) -> Callable:
-    """Inference-mode logits fn (classifier.eval() equivalent)."""
+    """Inference-mode logits fn (classifier.eval() equivalent).
+
+    The variables are passed as jit ARGUMENTS, not closure constants —
+    baking several-hundred-MB weight constants into the HLO both bloats
+    compilation and overflows remote-compile payload limits."""
 
     @jax.jit
-    def apply(x):
-        return arch.apply(variables, x, train=False)
+    def apply(v, x):
+        return arch.apply(v, x, train=False)
 
-    return apply
+    return lambda x: apply(variables, x)
 
 
 def save_classifier(variables, path: str):

@@ -260,14 +260,14 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
         variables = load_torch_inception_weights(variables, weights_path)
 
     @jax.jit
-    def fwd(x):
-        return model.apply(variables, fid_preprocess(x))
+    def fwd(v, x):
+        return model.apply(v, fid_preprocess(x))
 
     def activations(images) -> np.ndarray:
         out = []
         n = images.shape[0]
         for s in range(0, n, batch):
-            out.append(np.asarray(fwd(jnp.asarray(images[s: s + batch]))))
+            out.append(np.asarray(fwd(variables, jnp.asarray(images[s: s + batch]))))
         return np.concatenate(out)
 
     return activations

@@ -7,6 +7,7 @@ M x M x ns conditional-generation matrix is produced by a single jitted call.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Optional
 
 import jax
@@ -40,20 +41,26 @@ def sample_from_conditional(model, variables, bdata, key, n: int = 10,
                             train: bool = False):
     """M x M cross-generation matrix with n samples per datapoint
     (multi_vaes.py:184-195). Returns samples[i][j] of shape
-    (n, B, *event_j)."""
+    (n, B, *event_j). Jitted with variables as arguments (weights as HLO
+    constants would bloat/overflow compilation)."""
     n_mod = len(bdata)
 
-    def one(key_one):
-        keys = jax.random.split(key_one, n_mod)
-        out = []
-        for i in range(n_mod):
-            z = sample_latents_from_mod(model, variables, i, bdata[i], keys[i],
-                                        train=train)
-            out.append(model.apply(variables, z, method="decode_all", train=train))
-        return out
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run(variables, bdata, key, n):
+        def one(key_one):
+            keys = jax.random.split(key_one, n_mod)
+            out = []
+            for i in range(n_mod):
+                z = model.apply(variables, i, bdata[i],
+                                method="infer_latent_from_mod",
+                                rngs={"sample": keys[i]}, train=train)
+                out.append(model.apply(variables, z, method="decode_all",
+                                       train=train))
+            return out
 
-    keys = jax.random.split(key, n)
-    return jax.vmap(one)(keys)
+        return jax.vmap(one)(jax.random.split(key, n))
+
+    return run(variables, list(bdata), key, n)
 
 
 def generate_from_conditional(model, variables, key, spec, N: int = 10,
