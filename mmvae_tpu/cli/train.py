@@ -165,8 +165,10 @@ def main(argv=None):
 
         callbacks.append(analytics)
 
+    use_dp = bool(cfg.extra.get("device_pipeline", True)) and cfg.mesh_data in (None, 1)
     state = trainer.fit(train_loader, val_loader, key=jax.random.PRNGKey(cfg.seed),
-                        variables_hook=variables_hook, callbacks=callbacks)
+                        variables_hook=variables_hook, callbacks=callbacks,
+                        use_device_pipeline=use_dp)
 
     with open(os.path.join(run_path, "losses.json"), "w") as f:
         json.dump(getattr(trainer, "_history", {}), f)

@@ -53,11 +53,20 @@ def main(argv=None):
         kr = jax.random.fold_in(key, r)
         xs, labs = next(iter(test_l))
         xs = [jnp.asarray(x) for x in xs]
-        metrics = compute_accuracies(
-            bundle.model, variables, classifiers, xs,
-            [jnp.asarray(l) for l in labs], kr, bundle.spec,
-            n_data=min(info.n_data, len(xs[0])), ns=info.ns,
-        )
+        if bundle.dataset == "celeba":
+            # 40-attribute bitwise metrics (modalities/celeba.py:17-63)
+            from ..eval.modalities import celeba_attribute_metrics
+
+            attrs = np.asarray(xs[1]).reshape(len(xs[1]), -1)
+            metrics = celeba_attribute_metrics(
+                bundle.model, variables, classifiers, xs, attrs, kr,
+                bundle.spec, n_data=min(info.n_data, len(xs[0])), ns=info.ns)
+        else:
+            metrics = compute_accuracies(
+                bundle.model, variables, classifiers, xs,
+                [jnp.asarray(l) for l in labs], kr, bundle.spec,
+                n_data=min(info.n_data, len(xs[0])), ns=info.ns,
+            )
         if not info.skip_fid:
             metrics.update(cross_modal_fid(bundle.model, variables, test_l,
                                            bundle.spec, kr, encoder_fn,

@@ -272,10 +272,23 @@ class Trainer:
         n = loader.num_examples
         return total / n, {k: v / n for k, v in agg.items()}
 
+    def make_device_pipeline(self, train_loader):
+        """Wrap an ArrayLoader's materialized dataset as a device-resident
+        pipeline (identity pairing tables — the pairing gather already ran
+        at construction)."""
+        from ..data.device_pipeline import DeviceDataPipeline
+
+        ds = train_loader.dataset
+        n = len(ds)
+        idx = [np.arange(n, dtype=np.int32)] * len(ds.modalities)
+        return DeviceDataPipeline(ds.modalities, idx, train_loader.batch_size,
+                                  shuffle=train_loader.shuffle)
+
     def fit(self, train_loader, val_loader, key=None,
             callbacks: Optional[List[Callable]] = None,
             min_epoch: int = 1,
-            variables_hook: Optional[Callable] = None) -> TrainerState:
+            variables_hook: Optional[Callable] = None,
+            use_device_pipeline: bool = False) -> TrainerState:
         """Full training run (main.py:234-277). variables_hook, if given,
         transforms the freshly-initialized variables (e.g. grafting
         pretrained DCCA trunks or warm-start weights)."""
@@ -306,6 +319,7 @@ class Trainer:
         bad_epochs = 0
         warmup = cfg.warmup
         agg_hist = defaultdict(list)
+        pipeline = self.make_device_pipeline(train_loader) if use_device_pipeline else None
 
         epoch = min_epoch
         while epoch <= cfg.epochs:
@@ -320,20 +334,25 @@ class Trainer:
                 best_loss = math.inf
 
             t0 = time.time()
+
+            def _train_epoch():
+                if pipeline is not None:
+                    return self.run_epoch_device(
+                        state, pipeline, train_key, plateau.lr,
+                        beta_sched.value, epoch=epoch)
+                return self.run_epoch(
+                    state, train_loader, train_key, plateau.lr,
+                    beta_sched.value, train=True, epoch=epoch)
+
             profile_dir = os.environ.get("MMVAE_TPU_PROFILE")
             if profile_dir and epoch == min_epoch + 1:
                 # first-class step tracing (SURVEY §5 aux-subsystems gap):
                 # capture one post-compile epoch with jax.profiler
                 with jax.profiler.trace(profile_dir):
-                    tr_loss, tr_details = self.run_epoch(
-                        state, train_loader, train_key, plateau.lr,
-                        beta_sched.value, train=True, epoch=epoch)
+                    tr_loss, tr_details = _train_epoch()
                 self.log(f"profiler trace written to {profile_dir}")
             else:
-                tr_loss, tr_details = self.run_epoch(
-                    state, train_loader, train_key, plateau.lr, beta_sched.value,
-                    train=True, epoch=epoch,
-                )
+                tr_loss, tr_details = _train_epoch()
             beta_sched.step(epoch)
             va_loss, va_details = self.run_epoch(
                 state, val_loader, jax.random.fold_in(train_key, 0x7FFFFFFF),
