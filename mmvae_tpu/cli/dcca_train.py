@@ -24,10 +24,17 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=800)
     parser.add_argument("--data-path", type=str, default="../data")
     parser.add_argument("--out", type=str, default="../experiments/dcca")
-    parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--platform", type=str, default="cpu",
+                        help="DCCA pretraining runs on CPU by default: the "
+                             "reference trains this stage in float64 "
+                             "(main_mnist_svhn.py:20), and the eigh gradient "
+                             "is ill-suited to the TPU compiler")
+    parser.add_argument("--x64", action="store_true", default=True)
     info = parser.parse_args(argv)
     if info.platform:
         jax.config.update("jax_platforms", info.platform)
+    if info.x64 and info.platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
 
     from ..data import get_dataloaders
     from ..dcca.nets import dcca_encoders_circles, dcca_encoders_mnist_svhn
