@@ -40,6 +40,10 @@ def measure_tpu(steps: int = 100, warmup: int = 3) -> float:
     import jax.numpy as jnp
     import numpy as np
 
+    from mmvae_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mmvae_tpu.core.config import ExperimentConfig
     from mmvae_tpu.data.device_pipeline import DeviceDataPipeline
     from mmvae_tpu.models import registry

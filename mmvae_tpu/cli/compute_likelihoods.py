@@ -29,6 +29,9 @@ def main(argv=None):
     if info.platform:
         jax.config.update("jax_platforms", info.platform)
 
+    from ..core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..eval import likelihoods as L
     from ..models.jmvae_nf import JMVAE_NF
     from ..models.mmvae import MMVAE

@@ -36,6 +36,9 @@ def main(argv=None):
     if info.x64 and info.platform == "cpu":
         jax.config.update("jax_enable_x64", True)
 
+    from ..core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..data import get_dataloaders
     from ..dcca.nets import dcca_encoders_circles, dcca_encoders_mnist_svhn
     from ..dcca.train import Solver

@@ -28,6 +28,9 @@ def main(argv=None):
     if info.platform:
         jax.config.update("jax_platforms", info.platform)
 
+    from ..core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..eval import compute_joint_accuracy, generate
     from ..eval.gmm import fit_sampler_on_train_latents
     from .common import find_latest_run, get_or_train_classifiers, reload_model

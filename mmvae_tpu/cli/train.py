@@ -31,6 +31,9 @@ def main(argv=None):
     if info.platform:
         jax.config.update("jax_platforms", info.platform)
 
+    from ..core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..core.config import ExperimentConfig
     from ..data import get_dataloaders
     from ..models import registry

@@ -33,6 +33,9 @@ def main(argv=None):
     if info.platform:
         jax.config.update("jax_platforms", info.platform)
 
+    from ..core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..eval import compute_accuracies, cross_modal_fid, make_inception_fn
     from ..vis import save_samples
     from .common import find_latest_run, get_or_train_classifiers, reload_model
