@@ -135,8 +135,10 @@ def dreg(model, variables, x, key, spec, K=1, train=True, **kw):
     zs, vjp1, ((mu, std), st1) = jax.vjp(stage1, params, has_aux=True)
     mu_d, std_d = jax.lax.stop_gradient((mu, std))
 
+    rest2 = {**rest, **st1}
+
     def stage2(p, z):
-        recon, st2 = _apply(model, {"params": p, **rest}, key, "decode", z,
+        recon, st2 = _apply(model, {"params": p, **rest2}, key, "decode", z,
                             train=train)
         lpz = jnp.sum(D.log_prob(spec.posterior, prior(spec), z), axis=-1)
         lpx = recon_log_prob(spec.recon_dists[0], recon, x, 2) * spec.llik_scaling
@@ -260,9 +262,14 @@ def _m_dreg_value_and_grad(model, variables, x, key, spec, K, looser, train):
 
     zss, vjp1, (qz_params, st1) = jax.vjp(stage1, params, has_aux=True)
 
+    # stage 2 applies on top of stage 1's mutated state so both stages'
+    # batch_stats updates survive (encoder stats live in st1, decoder in
+    # the st2 built from it)
+    rest2 = {**rest, **st1}
+
     def stage2(p, z):
         recons, st2 = _apply(
-            model, {"params": p, **rest}, key, "decode_cross", z, train=train,
+            model, {"params": p, **rest2}, key, "decode_cross", z, train=train,
         )
         lws = _m_lws(x, spec, qz_params, z, recons, detach_post=True)
         return lws, st2
@@ -291,28 +298,9 @@ def _m_dreg_value_and_grad(model, variables, x, key, spec, K, looser, train):
     gz = gz * w[..., None]
     (gp1,) = vjp1(gz)
     grads = jax.tree.map(jnp.add, gp1, gp2)
+    # st2 was computed on top of st1, so it carries both stages' updates
     state = {**st1, **st2}
-    if st1.get("batch_stats") is not None and st2.get("batch_stats") is not None:
-        # encoder/decoder stats live in disjoint subtrees; merge by preferring
-        # whichever side changed (same leaves otherwise)
-        state = _merge_state(st1, st2)
     return obj, {}, state, grads
-
-
-def _merge_state(st1, st2):
-    def pick(a, b):
-        return b  # stage-2 only mutates decoder BN; stage-1 only encoder BN
-
-    merged = {}
-    for k in set(st1) | set(st2):
-        if k in st1 and k in st2:
-            # leaves updated by stage2 win for decoder subtree, stage1 for encoder;
-            # since each stage only recomputes its own stats, taking elementwise
-            # "latest" per subtree is done by structural merge below.
-            merged[k] = jax.tree.map(pick, st1[k], st2[k])
-        else:
-            merged[k] = st1.get(k, st2.get(k))
-    return merged
 
 
 def m_dreg(model, variables, x, key, spec, K=1, train=True, **kw):

@@ -65,3 +65,36 @@ def test_objective_one_step(model, obj, looser, extra):
     # vaevae losses); at least one leaf must have moved
     assert any(not np.array_equal(a, b) for a, b in zip(before, after)), \
         "no params updated"
+
+
+def test_dreg_updates_encoder_batch_stats():
+    """Regression: the two-stage DReG VJP must carry BOTH stages'
+    batch_stats updates (stage 2 builds on stage 1's state)."""
+    from mmvae_tpu.models import MMVAE, UnimodalVAE
+    from mmvae_tpu.nets import DecoderMNIST, EncoderMNIST
+    from mmvae_tpu.objectives import ModelSpec
+    from mmvae_tpu.objectives.objectives import m_dreg_looser
+
+    D = 3
+    vaes = [
+        UnimodalVAE(encoder=EncoderMNIST(latent_dim=D),
+                    decoder=DecoderMNIST(latent_dim=D), latent_dim=D,
+                    model_name=f"m{i}")
+        for i in range(2)
+    ]
+    model = MMVAE(vaes=vaes)
+    key = jax.random.PRNGKey(0)
+    xs = [jnp.asarray(np.random.rand(4, 1, 28, 28).astype(np.float32))
+          for _ in range(2)]
+    variables = model.init({"params": key, "sample": key}, xs, K=1)
+    spec = ModelSpec(latent_dim=D)
+    _, _, state, _ = m_dreg_looser(model, variables, xs, key, spec, K=2,
+                                   train=True)
+    bs = state["batch_stats"]
+    # both encoder AND decoder BN means must have moved off init
+    enc_means = jax.tree.leaves(
+        {k: v for k, v in bs["vaes_0"]["encoder"].items()})
+    dec_means = jax.tree.leaves(
+        {k: v for k, v in bs["vaes_0"]["decoder"].items()})
+    assert any(float(jnp.abs(m).max()) > 0 for m in enc_means), "encoder stats lost"
+    assert any(float(jnp.abs(m).max()) > 0 for m in dec_means), "decoder stats lost"
