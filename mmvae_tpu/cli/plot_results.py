@@ -1,0 +1,64 @@
+"""Result plotting — the equivalent of the reference's paper-figure scripts
+(tests/ablation_n_made.py, tests/plot_dcca_size_graphs.py,
+analysis/plot_prds_*): renders metric curves from run-dir metrics.json files
+instead of hard-coded arrays.
+
+Usage:
+  python -m mmvae_tpu.cli.plot_results --runs runA runB --metric acc_0_1 \
+      --labels "1 made" "2 made" --out ablation.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--runs", nargs="+", required=True,
+                        help="run dirs containing metrics.json")
+    parser.add_argument("--metric", type=str, default="acc_0_1")
+    parser.add_argument("--labels", nargs="*", default=None)
+    parser.add_argument("--out", type=str, default="plot.png")
+    parser.add_argument("--losses", action="store_true",
+                        help="plot losses.json training curves instead")
+    info = parser.parse_args(argv)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = info.labels or [os.path.basename(r.rstrip("/")) for r in info.runs]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    if info.losses:
+        for run, lab in zip(info.runs, labels):
+            with open(os.path.join(run, "losses.json")) as f:
+                hist = json.load(f)
+            ax.plot(hist["train_loss"], label=f"{lab} train")
+            ax.plot(hist["test_loss"], "--", label=f"{lab} val")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("loss")
+    else:
+        xs, ys, errs = [], [], []
+        for i, run in enumerate(info.runs):
+            with open(os.path.join(run, "metrics.json")) as f:
+                m = json.load(f)
+            entry = m[info.metric]
+            xs.append(i)
+            ys.append(entry["mean"] if isinstance(entry, dict) else entry)
+            errs.append(entry.get("std", 0.0) if isinstance(entry, dict) else 0.0)
+        ax.errorbar(xs, ys, yerr=errs, marker="o")
+        ax.set_xticks(xs)
+        ax.set_xticklabels(labels, rotation=30, ha="right")
+        ax.set_ylabel(info.metric)
+    ax.legend() if info.losses else None
+    fig.tight_layout()
+    fig.savefig(info.out, dpi=120)
+    print("wrote", info.out)
+
+
+if __name__ == "__main__":
+    main()

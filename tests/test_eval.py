@@ -148,3 +148,20 @@ def test_hmc_poe_sampling():
                                mcmc_steps=3, n_lf=2, K=2)
     assert z.shape == (2, 4, 2)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_quality_assess_harness():
+    """QualityAssess (Quality_assess.py rebuild): identical distributions
+    score near-zero FID and high PRD f-scores."""
+    from mmvae_tpu.eval.quality import QualityAssess
+
+    rng = np.random.default_rng(0)
+
+    def enc(x):
+        return x.reshape(len(x), -1)[:, :16]
+
+    data = [rng.normal(size=(100, 4, 8)).astype(np.float32) for _ in range(2)]
+    qa = QualityAssess(enc).fit_reference(data)
+    m = qa.score(data, num_clusters=5, num_runs=2)
+    assert m["fid"] < 1e-3
+    assert m["prd_f8"] > 0.9
