@@ -70,6 +70,19 @@ def main(argv=None):
                 [jnp.asarray(l) for l in labs], kr, bundle.spec,
                 n_data=min(info.n_data, len(xs[0])), ns=info.ns,
             )
+        has_poe = hasattr(bundle.model, "poe_log_density") or \
+            hasattr(bundle.model, "poe_subset_params")
+        if len(xs) == 3 and has_poe:
+            # trimodal PoE-subset conditional accuracy (trimodal.py:115-154)
+            from ..eval.modalities import poe_subset_accuracy
+
+            try:
+                metrics.update(poe_subset_accuracy(
+                    bundle.model, variables, classifiers, xs,
+                    [np.asarray(l) for l in labs], kr, bundle.spec,
+                    n_data=min(32, len(xs[0])), ns=8, mcmc_steps=20))
+            except Exception as e:
+                print(f"[poe_subset_accuracy] skipped: {e}")
         if not info.skip_fid:
             metrics.update(cross_modal_fid(bundle.model, variables, test_l,
                                            bundle.spec, kr, encoder_fn,
