@@ -211,7 +211,12 @@ def m_elbo(model, variables, x, key, spec, K=1, train=True, **kw):
 
 def _m_lws(x, spec, qz_params, zss, recons, detach_post: bool):
     """Per-expert importance weights lw_r = lpz + sum_d lpx - lqz_moe
-    (objectives.py:117-131 / 372-388). Returns (M, K, B)."""
+    (objectives.py:117-131 / 372-388). Returns (M, K, B).
+
+    NOTE: the reference scales lpx by `model.vaes[d].llik_scaling` in
+    _m_iwae but `model.lik_scaling[d]` in _m_dreg; with my_pythae VAEs only
+    the latter exists, so we use spec.lik_scaling for both (the live
+    configs set them identically)."""
     n = len(qz_params)
     if detach_post:
         qz_params = jax.lax.stop_gradient(qz_params)
