@@ -23,7 +23,15 @@ def main(argv=None):
     parser.add_argument("--k", type=int, default=1000)
     parser.add_argument("--batch-size-k", type=int, default=100)
     parser.add_argument("--repeats", type=int, default=5)
-    parser.add_argument("--n-data", type=int, default=64)
+    parser.add_argument("--n-data", type=str, default="all",
+                        help="datapoints per test batch; 'all' = full test "
+                        "set (compute_likelihoods.py:102-107)")
+    parser.add_argument("--max-batches", type=int, default=0,
+                        help="cap on test batches per repeat (0 = no cap)")
+    parser.add_argument("--bis", action="store_true",
+                        help="also compute the ln p(x|y) = joint_ll_from_uni"
+                        " - uni_from_prior protocol (multi_vaes.py:253-268)"
+                        " for every ordered pair and model family")
     parser.add_argument("--platform", type=str, default=None)
     info = parser.parse_args(argv)
     if info.platform:
@@ -55,15 +63,32 @@ def main(argv=None):
     all_metrics = []
     for r in range(info.repeats):
         kr = jax.random.fold_in(key, r)
-        xs, _ = next(iter(test_l))
-        xs = [jnp.asarray(x[: info.n_data]) for x in xs]
-        metrics = L.compute_conditional_likelihoods(
-            bundle.model, variables, xs, bundle.spec, kr,
-            K=info.k, batch_size_K=info.batch_size_k)
-        if joint_fn is not None:
-            metrics.update(joint_fn(bundle.model, variables, xs, bundle.spec,
-                                    jax.random.fold_in(kr, 999),
-                                    K=info.k, batch_size_K=info.batch_size_k))
+        # full-test-set loop: per-batch metrics averaged within the repeat
+        # (compute_likelihoods.py:102-107 + get_mean_std)
+        batch_metrics: dict = {}
+        for bi, (xs, _) in enumerate(test_l):
+            if info.max_batches and bi >= info.max_batches:
+                break
+            kb = jax.random.fold_in(kr, bi)
+            if info.n_data != "all":
+                xs = [x[: int(info.n_data)] for x in xs]
+            xs = [jnp.asarray(x) for x in xs]
+            metrics = L.compute_conditional_likelihoods(
+                bundle.model, variables, xs, bundle.spec, kb,
+                K=info.k, batch_size_K=info.batch_size_k)
+            if joint_fn is not None:
+                metrics.update(joint_fn(
+                    bundle.model, variables, xs, bundle.spec,
+                    jax.random.fold_in(kb, 999),
+                    K=info.k, batch_size_K=info.batch_size_k))
+            if info.bis:
+                metrics.update(L.compute_conditional_likelihoods_bis(
+                    bundle.model, variables, xs, bundle.spec,
+                    jax.random.fold_in(kb, 998),
+                    K=info.k, batch_size_K=info.batch_size_k))
+            for k2, v in metrics.items():
+                batch_metrics.setdefault(k2, []).append(v)
+        metrics = {k2: float(np.mean(v)) for k2, v in batch_metrics.items()}
         all_metrics.append(metrics)
         print(f"repeat {r}: {metrics}")
 

@@ -18,8 +18,11 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="mnist_svhn",
-                        choices=["mnist_svhn", "circles_squares"])
-    parser.add_argument("--outdim", type=int, default=16)
+                        help="any key of dcca.nets.DCCA_BUILDERS "
+                        "(mnist_svhn, circles_squares, celeba, medmnist, "
+                        "chest_svhn, mnist_contour, mnist_svhn_fashion)")
+    parser.add_argument("--outdim", type=int, default=0,
+                        help="trunk embedding dim (0 = per-dataset default)")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=800)
     parser.add_argument("--data-path", type=str, default="../data")
@@ -40,36 +43,43 @@ def main(argv=None):
 
     enable_compilation_cache()
     from ..data import get_dataloaders
-    from ..dcca.nets import dcca_encoders_circles, dcca_encoders_mnist_svhn
+    from ..dcca.nets import DCCA_BUILDERS
     from ..dcca.train import Solver
 
-    builders = {"mnist_svhn": dcca_encoders_mnist_svhn,
-                "circles_squares": dcca_encoders_circles}[info.dataset]
+    builders, default_dim = DCCA_BUILDERS[info.dataset]
+    outdim = info.outdim or default_dim
     train_l, test_l, val_l = get_dataloaders(
         info.dataset, batch_size=info.batch_size, data_path=info.data_path)
 
-    solver = Solver(builders(info.outdim), info.outdim)
+    solver = Solver(builders(outdim), outdim)
     solver.fit(train_l, val_l, epochs=info.epochs)
     out_path = os.path.join(info.out, info.dataset, "dcca.npz")
     solver.save(out_path)
     print("saved", out_path)
 
-    # SVM probe on the linear-CCA projections (dcca/utils.py:33)
+    # SVM probe on the linear-CCA projections (dcca/utils.py:33;
+    # dcca/validate/main_{celeba,msf}.py protocol)
     from sklearn.svm import LinearSVC
 
     @jax.jit
     def infer(xs):
         return solver.model.apply(solver.variables, xs)
 
-    feats, labels = [[], []], []
+    n_views = len(solver.model.encoders)
+    feats, labels = [[] for _ in range(n_views)], []
     for xs, labs in test_l:
         outs = infer([jnp.asarray(x) for x in xs])
-        feats[0].append(np.asarray(outs[0]))
-        feats[1].append(np.asarray(outs[1]))
+        for v in range(n_views):
+            feats[v].append(np.asarray(outs[v]))
         labels.append(labs[0])
     labels = np.concatenate(labels)
-    for v in range(2):
-        h = solver.lcca.transform(np.concatenate(feats[v]), v)
+    if labels.ndim > 1:  # celeba: probe the first attribute bit
+        labels = labels.reshape(len(labels), -1)[:, 0]
+    for v in range(n_views):
+        h = np.concatenate(feats[v])
+        if v < 2:  # LCCA is fit on the first two views (trimodal keeps raw
+            # trunks, main_mnist_svhn_fashion.py:99,180)
+            h = solver.lcca.transform(h, v)
         n = len(h) // 2
         clf = LinearSVC().fit(h[:n], labels[:n])
         acc = clf.score(h[n:], labels[n:])

@@ -23,8 +23,12 @@ def main(argv=None):
     parser.add_argument("--run-path", type=str, default="")
     parser.add_argument("--experiments-dir", type=str, default="../experiments")
     parser.add_argument("--repeats", type=int, default=5)
-    parser.add_argument("--n-data", type=int, default=100)
-    parser.add_argument("--ns", type=int, default=100)
+    parser.add_argument("--n-data", type=str, default="all",
+                        help="datapoints per batch to score; 'all' = every "
+                        "pair in the batch (validate.py:116)")
+    parser.add_argument("--ns", type=int, default=1,
+                        help="conditional samples per datapoint "
+                        "(validate.py:116 uses ns=1 over the full test set)")
     parser.add_argument("--skip-fid", action="store_true")
     parser.add_argument("--fid-weights", type=str, default="",
                         help="path to pytorch-fid inception weights (.pt)")
@@ -51,38 +55,51 @@ def main(argv=None):
         weights = info.fid_weights or None
         encoder_fn = make_inception_fn(weights_path=weights)
 
+    has_poe = hasattr(bundle.model, "poe_log_density") or \
+        hasattr(bundle.model, "poe_subset_params")
+
     all_metrics = []
     for r in range(info.repeats):
         kr = jax.random.fold_in(key, r)
-        xs, labs = next(iter(test_l))
-        xs = [jnp.asarray(x) for x in xs]
-        if bundle.dataset == "celeba":
-            # 40-attribute bitwise metrics (modalities/celeba.py:17-63)
-            from ..eval.modalities import celeba_attribute_metrics
+        # full-test-set loop: accumulate per-batch metric dicts, then mean
+        # within the repeat (validate.py:111-116 + get_mean_std).
+        batch_metrics: dict = {}
+        for bi, (xs, labs) in enumerate(test_l):
+            kb = jax.random.fold_in(kr, bi)
+            xs = [jnp.asarray(x) for x in xs]
+            if info.n_data == "all":
+                n_data = len(xs[0])
+            else:
+                n_data = min(int(info.n_data), len(xs[0]))
+            if bundle.dataset == "celeba":
+                # 40-attribute bitwise metrics (modalities/celeba.py:17-63)
+                from ..eval.modalities import celeba_attribute_metrics
 
-            attrs = np.asarray(xs[1]).reshape(len(xs[1]), -1)
-            metrics = celeba_attribute_metrics(
-                bundle.model, variables, classifiers, xs, attrs, kr,
-                bundle.spec, n_data=min(info.n_data, len(xs[0])), ns=info.ns)
-        else:
-            metrics = compute_accuracies(
-                bundle.model, variables, classifiers, xs,
-                [jnp.asarray(l) for l in labs], kr, bundle.spec,
-                n_data=min(info.n_data, len(xs[0])), ns=info.ns,
-            )
-        has_poe = hasattr(bundle.model, "poe_log_density") or \
-            hasattr(bundle.model, "poe_subset_params")
-        if len(xs) == 3 and has_poe:
-            # trimodal PoE-subset conditional accuracy (trimodal.py:115-154)
-            from ..eval.modalities import poe_subset_accuracy
-
-            try:
-                metrics.update(poe_subset_accuracy(
+                attrs = np.asarray(xs[1]).reshape(len(xs[1]), -1)
+                metrics = celeba_attribute_metrics(
+                    bundle.model, variables, classifiers, xs, attrs, kb,
+                    bundle.spec, n_data=n_data, ns=info.ns)
+            else:
+                metrics = compute_accuracies(
                     bundle.model, variables, classifiers, xs,
-                    [np.asarray(l) for l in labs], kr, bundle.spec,
-                    n_data=min(32, len(xs[0])), ns=8, mcmc_steps=20))
-            except Exception as e:
-                print(f"[poe_subset_accuracy] skipped: {e}")
+                    [jnp.asarray(l) for l in labs], kb, bundle.spec,
+                    n_data=n_data, ns=info.ns,
+                )
+            if len(xs) == 3 and has_poe and bi == 0:
+                # trimodal PoE-subset conditional accuracy
+                # (trimodal.py:115-154) — HMC, first batch per repeat
+                from ..eval.modalities import poe_subset_accuracy
+
+                try:
+                    metrics.update(poe_subset_accuracy(
+                        bundle.model, variables, classifiers, xs,
+                        [np.asarray(l) for l in labs], kb, bundle.spec,
+                        n_data=min(32, len(xs[0])), ns=8, mcmc_steps=20))
+                except Exception as e:
+                    print(f"[poe_subset_accuracy] skipped: {e}")
+            for k, v in metrics.items():
+                batch_metrics.setdefault(k, []).append(v)
+        metrics = {k: float(np.mean(v)) for k, v in batch_metrics.items()}
         if not info.skip_fid:
             metrics.update(cross_modal_fid(bundle.model, variables, test_l,
                                            bundle.spec, kr, encoder_fn,

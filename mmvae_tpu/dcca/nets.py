@@ -71,3 +71,62 @@ def dcca_encoders_circles(outdim: int = 16):
         EncoderSVHN(latent_dim=outdim, n_channels=1, name="dcca_squares"),
         EncoderSVHN(latent_dim=outdim, n_channels=1, name="dcca_circles"),
     ]
+
+
+def dcca_encoders_celeba(outdim: int = 40):
+    """DeepCCA_celeba (dcca/models/celeba.py:15-21): CelebA ResNet encoder
+    for the image, MLP for the 1x1x40 attribute tensor."""
+    from ..nets.resnets import celeba_encoder
+
+    return [
+        celeba_encoder(outdim),
+        MLPEncoder(latent_dim=outdim, name="dcca_attributes"),
+    ]
+
+
+def dcca_encoders_medmnist(outdim: int = 16):
+    """DeepCCA_MedMNIST (dcca/models/medmnist.py:16-21): medmnist ResNet
+    encoders for both (1,28,28) pneumonia and (3,28,28) blood."""
+    from ..nets.resnets import medmnist_encoder
+
+    return [medmnist_encoder(outdim, 1), medmnist_encoder(outdim, 3)]
+
+
+def dcca_encoders_chest_svhn(outdim: int = 16):
+    """DeepCCA chest-SVHN (dcca/models/chest_svhn.py:16-21): medmnist ResNet
+    for the chest X-ray, conv for SVHN."""
+    from ..nets.resnets import medmnist_encoder
+
+    return [medmnist_encoder(outdim, 1), EncoderSVHN(latent_dim=outdim)]
+
+
+def dcca_encoders_mnist_contour(outdim: int = 15):
+    """DeepCCA_MNIST_CONTOUR (dcca/models/mnist_contour.py:12-15): MLP x2."""
+    return [
+        MLPEncoder(latent_dim=outdim, name="dcca_mnist"),
+        MLPEncoder(latent_dim=outdim, name="dcca_contour"),
+    ]
+
+
+def dcca_encoders_msf(outdim: int = 16):
+    """Trimodal DeepCCA_MNIST_SVHN_FASHION (dcca/models/
+    mnist_svhn_fashion.py:13-17): MLP + SVHN conv + MLP, trained with the
+    pairwise mcca loss."""
+    return [
+        MLPEncoder(latent_dim=outdim, name="dcca_mnist"),
+        EncoderSVHN(latent_dim=outdim, name="dcca_svhn"),
+        MLPEncoder(latent_dim=outdim, name="dcca_fashion"),
+    ]
+
+
+# dataset key -> (builder, default trunk outdim) — the load_dcca_* factory
+# table (dcca/models/__init__.py:1-18 + chest_svhn/msf modules)
+DCCA_BUILDERS = {
+    "mnist_svhn": (dcca_encoders_mnist_svhn, 16),
+    "circles_squares": (dcca_encoders_circles, 16),
+    "celeba": (dcca_encoders_celeba, 40),
+    "medmnist": (dcca_encoders_medmnist, 16),
+    "chest_svhn": (dcca_encoders_chest_svhn, 16),
+    "mnist_contour": (dcca_encoders_mnist_contour, 15),
+    "mnist_svhn_fashion": (dcca_encoders_msf, 16),
+}

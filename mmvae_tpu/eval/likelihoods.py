@@ -245,14 +245,80 @@ def joint_ll_from_uni_jmvae_nf(model, variables, data, cond_mod: int, spec, key,
     return {f"joint_ll_from_{cond_mod}": float(jnp.mean(lls))}
 
 
+def joint_ll_from_uni_gaussian(model, variables, data, cond_mod: int, spec, key,
+                               K: int = 1000, batch_size_K: int = 100):
+    """ln p(x, y) by IS with the unimodal encoder posterior q(z|x_cond) as
+    proposal — the MMVAE/MVAE variant (mmvae.py:180-234; mvae.py:160-217,
+    which keeps the raw encoder posterior rather than PoE-with-prior, a
+    documented reference quirk at mvae.py:171-172)."""
+    qz_params = model.apply(variables, data, method="encode_all")
+    mu, std = qz_params[cond_mod]
+
+    def one_point(mu_i, std_i, xs_i, key_i):
+        def log_w(k):
+            q = LocScale(jnp.broadcast_to(mu_i, (batch_size_K,) + mu_i.shape),
+                         jnp.broadcast_to(std_i, (batch_size_K,) + std_i.shape))
+            z = D.sample(spec.posterior, q, k)
+            recons = model.apply(variables, z, method="decode_all")
+            lpx = sum(
+                recon_log_prob_flat(spec.recon_dists[m], recons[m], xs_i[m][None])
+                for m in range(len(recons))
+            )
+            lpz = jnp.sum(D.log_prob(
+                spec.posterior, LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
+                axis=-1)
+            lqz = jnp.sum(D.log_prob(spec.posterior, q, z), axis=-1)
+            return lpx + lpz - lqz
+
+        return _chunked_is(log_w, key_i, K, batch_size_K)
+
+    n = data[0].shape[0]
+    keys = jax.random.split(key, n)
+    lls = jax.vmap(one_point)(mu, std, tuple(data), keys)
+    return {f"joint_ll_from_{cond_mod}": float(jnp.mean(lls))}
+
+
+def joint_ll_from_uni_for(model):
+    """Family dispatch for the ln p(x,y)-from-unimodal-posterior estimator:
+    JMVAE-NF uses the flow posterior density (jmvae_nf.py:87-143), the
+    Gaussian families use the raw encoder posterior (mmvae.py:180-234)."""
+    from ..models.jmvae_nf import JMVAE_NF
+
+    if isinstance(model, JMVAE_NF):
+        return joint_ll_from_uni_jmvae_nf
+    if hasattr(model, "encode_all"):
+        return joint_ll_from_uni_gaussian
+    raise NotImplementedError(
+        f"no joint_ll_from_uni estimator for {type(model).__name__}")
+
+
 def compute_conditional_likelihood_bis(model, variables, data, cond_mod, gen_mod,
                                        spec, key, K: int = 1000,
-                                       batch_size_K: int = 100):
+                                       batch_size_K: int = 100,
+                                       joint_ll_fn=None):
     """ln p(x|y) = joint_ll_from_uni - uni_from_prior
-    (multi_vaes.py:253-268)."""
+    (multi_vaes.py:253-268); works for every family via joint_ll_from_uni_for."""
+    if joint_ll_fn is None:
+        joint_ll_fn = joint_ll_from_uni_for(model)
     k1, k2 = jax.random.split(key)
-    t1 = joint_ll_from_uni_jmvae_nf(model, variables, data, cond_mod, spec, k1,
-                                    K, batch_size_K)[f"joint_ll_from_{cond_mod}"]
+    t1 = joint_ll_fn(model, variables, data, cond_mod, spec, k1,
+                     K, batch_size_K)[f"joint_ll_from_{cond_mod}"]
     t2 = compute_uni_ll_from_prior(model, variables, data, cond_mod, spec, k2,
                                    K, batch_size_K)[f"uni_from_prior_{cond_mod}"]
     return {f"conditional_likelihood_bis_{cond_mod}_{gen_mod}": t1 - t2}
+
+
+def compute_conditional_likelihoods_bis(model, variables, data, spec, key,
+                                        K: int = 1000, batch_size_K: int = 100):
+    """The bis protocol over all ordered pairs (multi_vaes.py:253-268)."""
+    joint_ll_fn = joint_ll_from_uni_for(model)
+    n_mod = len(data)
+    metrics = {}
+    for i in range(n_mod):
+        for j in range(n_mod):
+            if i != j:
+                metrics.update(compute_conditional_likelihood_bis(
+                    model, variables, data, j, i, spec,
+                    jax.random.fold_in(key, 100 + i * n_mod + j),
+                    K, batch_size_K, joint_ll_fn=joint_ll_fn))
+    return metrics

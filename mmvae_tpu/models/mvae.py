@@ -83,6 +83,16 @@ class MVAE(nn.Module):
 
         return {"elbo": elbo, "z_joint": z_joint, "joint_mu": joint_mu, "joint_std": joint_std}
 
+    def encode_all(self, x, train: bool = False):
+        """Per-modality raw encoder posterior params [(mu, std)] — the
+        proposal for joint_ll_from_uni (mvae.py:174-179, which deliberately
+        skips the PoE-with-prior, see the mvae.py:171-172 warning)."""
+        params = []
+        for m, vae in enumerate(self.vaes):
+            mu_m, lv_m = vae.encode(x[m], train=train)
+            params.append((mu_m, vae.posterior_std(lv_m)))
+        return params
+
     def infer_latent_from_mod(self, cond_mod: int, x, train: bool = False):
         """PoE of the single expert with the prior, then sample (mvae.py:64-70)."""
         mu_m, lv_m = self.vaes[cond_mod].encode(x, train=train)

@@ -14,7 +14,11 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..core.config import ExperimentConfig
-from ..dcca.nets import LCCAWrappedEncoder, dcca_encoders_circles, dcca_encoders_mnist_svhn, identity_lcca
+from ..dcca.nets import (
+    LCCAWrappedEncoder, dcca_encoders_celeba, dcca_encoders_circles,
+    dcca_encoders_medmnist, dcca_encoders_mnist_svhn, dcca_encoders_msf,
+    identity_lcca,
+)
 from ..flows import IAF, MAF
 from ..nets import (
     DecoderMNIST, DecoderSVHN, DoubleHeadJoint, DoubleHeadMLP, EncoderMNIST,
@@ -79,9 +83,11 @@ def _dcca_pair(cfg, builders, dim_first: int = 16, artifacts=None):
     encs = builders(dim_first)
     wrapped = []
     for i, enc in enumerate(encs):
-        if artifacts is not None:
+        if artifacts is not None and i < len(artifacts[0]):
             m, w = artifacts[0][i], artifacts[1][i]
         else:
+            # LCCA covers the first two views only; extra trimodal views
+            # keep the raw trunk (main_mnist_svhn_fashion.py:99,180)
             m, w = identity_lcca(dim_first)
         wrapped.append(
             LCCAWrappedEncoder(encoder=enc, m=np.asarray(m), w=np.asarray(w),
@@ -145,7 +151,8 @@ def _jnf_mnist_svhn(cfg: ExperimentConfig, use_dcca: bool, dcca_artifacts=None) 
 
 def _load_dcca_artifacts(cfg: ExperimentConfig, dataset: str):
     """Linear-CCA projection arrays from a dcca_train run, if present
-    (load_dcca_* factories, dcca/models/mnist_svhn.py:97-104)."""
+    (load_dcca_* factories, dcca/models/mnist_svhn.py:97-104). The LCCA is
+    fit on the first two views only (main_mnist_svhn_fashion.py:99)."""
     import os
 
     path = cfg.extra.get(

@@ -39,9 +39,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """device_put every leaf with its batch axis sharded over 'data'."""
+    """device_put every leaf with its batch axis sharded over 'data'.
+
+    Ragged tail batches (leading dim not divisible by the 'data' axis size —
+    eval loaders keep them, ArrayLoader drop_last=False) are placed
+    replicated instead: every device computes the full small batch, which is
+    correct and costs one extra compile for the tail shape."""
+    n_data = mesh.shape["data"]
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    rep = replicated(mesh)
+
+    def put(a):
+        ok = a.ndim > 0 and a.shape[0] % n_data == 0
+        return jax.device_put(a, sh if ok else rep)
+
+    return jax.tree.map(put, tree)
 
 
 def replicate(mesh: Mesh, tree):

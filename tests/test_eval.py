@@ -84,6 +84,60 @@ def test_joint_likelihood_mmvae(circles_model):
     assert np.isfinite(out["likelihood"])
 
 
+def test_conditional_likelihood_bis_mmvae(circles_model):
+    """joint_ll_from_uni for the Gaussian families (mmvae.py:180-234) +
+    the bis protocol ln p(x|y) = joint_ll_from_uni - uni_from_prior."""
+    bundle, variables, xs, _ = circles_model
+    data = [x[:2] for x in xs]
+    m = ll.compute_conditional_likelihoods_bis(
+        bundle.model, variables, data, bundle.spec, jax.random.PRNGKey(6),
+        K=20, batch_size_K=10)
+    assert set(m) == {"conditional_likelihood_bis_0_1",
+                      "conditional_likelihood_bis_1_0"}
+    assert all(np.isfinite(v) for v in m.values())
+
+
+def test_conditional_likelihood_bis_mvae():
+    """The MVAE variant (mvae.py:160-217): raw encoder posterior proposal."""
+    cfg = ExperimentConfig(
+        model="mvae_mnist_svhn", obj="self_built", dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=4, batch_size=4,
+    )
+    bundle = registry.build(cfg)
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.uniform(size=(2,) + s).astype(np.float32))
+          for s in bundle.shape_mods]
+    key = jax.random.PRNGKey(0)
+    variables = bundle.model.init({"params": key, "sample": key}, xs, K=1)
+    m = ll.compute_conditional_likelihood_bis(
+        bundle.model, variables, xs, 0, 1, bundle.spec, key,
+        K=20, batch_size_K=10)
+    assert np.isfinite(m["conditional_likelihood_bis_0_1"])
+
+
+def test_conditional_likelihood_bis_jmvae_nf():
+    """JMVAE-NF dispatches to the flow-posterior variant
+    (jmvae_nf.py:87-143)."""
+    cfg = ExperimentConfig(
+        model="jnf_circles_squares", obj="jmvae_nf", dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, no_nf=False,
+        flow="maf",
+    )
+    bundle = registry.build(cfg)
+    train, _, _ = get_dataloaders("circles_squares", batch_size=4,
+                                  dataset_size=10, n_repeat=2)
+    xs, _ = next(iter(train))
+    xs = [jnp.asarray(x[:2]) for x in xs]
+    key = jax.random.PRNGKey(0)
+    variables = bundle.model.init({"params": key, "sample": key}, xs, K=1,
+                                  method="init_all")
+    assert ll.joint_ll_from_uni_for(bundle.model) is ll.joint_ll_from_uni_jmvae_nf
+    m = ll.compute_conditional_likelihood_bis(
+        bundle.model, variables, xs, 1, 0, bundle.spec, key,
+        K=20, batch_size_K=10)
+    assert np.isfinite(m["conditional_likelihood_bis_1_0"])
+
+
 def test_chunked_is_matches_direct():
     """The chunk-then-combine logsumexp (multi_vaes.py:242-248 reduction
     order) must equal the flat logmeanexp."""
