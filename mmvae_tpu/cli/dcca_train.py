@@ -28,11 +28,13 @@ def main(argv=None):
     parser.add_argument("--data-path", type=str, default="../data")
     parser.add_argument("--out", type=str, default="../experiments/dcca")
     parser.add_argument("--platform", type=str, default="cpu",
-                        help="DCCA pretraining runs on CPU by default: the "
-                             "reference trains this stage in float64 "
-                             "(main_mnist_svhn.py:20), and the eigh gradient "
-                             "is ill-suited to the TPU compiler")
+                        help="cpu = reference-parity float64 eigh loss; any "
+                        "other platform uses the TPU-native Cholesky loss")
     parser.add_argument("--x64", action="store_true", default=True)
+    parser.add_argument("--backend", type=str, default="",
+                        choices=["", "eigh", "chol"],
+                        help="CCA loss backend (default: eigh on cpu, chol "
+                        "elsewhere)")
     info = parser.parse_args(argv)
     if info.platform:
         jax.config.update("jax_platforms", info.platform)
@@ -51,7 +53,8 @@ def main(argv=None):
     train_l, test_l, val_l = get_dataloaders(
         info.dataset, batch_size=info.batch_size, data_path=info.data_path)
 
-    solver = Solver(builders(outdim), outdim)
+    backend = info.backend or ("eigh" if info.platform == "cpu" else "chol")
+    solver = Solver(builders(outdim), outdim, backend=backend)
     solver.fit(train_l, val_l, epochs=info.epochs)
     out_path = os.path.join(info.out, info.dataset, "dcca.npz")
     solver.save(out_path)

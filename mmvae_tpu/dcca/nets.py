@@ -60,16 +60,16 @@ def dcca_encoders_mnist_svhn(outdim: int = 16):
     """DeepCCA_MNIST_SVHN trunk pair (dcca/models/mnist_svhn.py:13-18):
     MLP for MNIST, conv for SVHN."""
     return [
-        MLPEncoder(latent_dim=outdim, name="dcca_mnist"),
-        EncoderSVHN(latent_dim=outdim, name="dcca_svhn"),
+        MLPEncoder(latent_dim=outdim),
+        EncoderSVHN(latent_dim=outdim),
     ]
 
 
 def dcca_encoders_circles(outdim: int = 16):
     """dcca/models/circles.py analog: conv encoders for 1x32x32."""
     return [
-        EncoderSVHN(latent_dim=outdim, n_channels=1, name="dcca_squares"),
-        EncoderSVHN(latent_dim=outdim, n_channels=1, name="dcca_circles"),
+        EncoderSVHN(latent_dim=outdim, n_channels=1),
+        EncoderSVHN(latent_dim=outdim, n_channels=1),
     ]
 
 
@@ -80,7 +80,7 @@ def dcca_encoders_celeba(outdim: int = 40):
 
     return [
         celeba_encoder(outdim),
-        MLPEncoder(latent_dim=outdim, name="dcca_attributes"),
+        MLPEncoder(latent_dim=outdim),
     ]
 
 
@@ -103,8 +103,8 @@ def dcca_encoders_chest_svhn(outdim: int = 16):
 def dcca_encoders_mnist_contour(outdim: int = 15):
     """DeepCCA_MNIST_CONTOUR (dcca/models/mnist_contour.py:12-15): MLP x2."""
     return [
-        MLPEncoder(latent_dim=outdim, name="dcca_mnist"),
-        MLPEncoder(latent_dim=outdim, name="dcca_contour"),
+        MLPEncoder(latent_dim=outdim),
+        MLPEncoder(latent_dim=outdim),
     ]
 
 
@@ -113,9 +113,9 @@ def dcca_encoders_msf(outdim: int = 16):
     mnist_svhn_fashion.py:13-17): MLP + SVHN conv + MLP, trained with the
     pairwise mcca loss."""
     return [
-        MLPEncoder(latent_dim=outdim, name="dcca_mnist"),
-        EncoderSVHN(latent_dim=outdim, name="dcca_svhn"),
-        MLPEncoder(latent_dim=outdim, name="dcca_fashion"),
+        MLPEncoder(latent_dim=outdim),
+        EncoderSVHN(latent_dim=outdim),
+        MLPEncoder(latent_dim=outdim),
     ]
 
 

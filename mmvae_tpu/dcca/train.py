@@ -22,16 +22,21 @@ from flax import serialization
 
 from .linear_cca import LinearCCA
 from .nets import DeepCCA
-from .objectives import cca_loss, mcca_loss
+from .objectives import cca_loss, cca_loss_chol, mcca_loss, mcca_loss_chol
 
 
 class Solver:
     def __init__(self, encoders: Sequence, outdim_size: int,
                  learning_rate: float = 1e-3, reg_par: float = 1e-5,
-                 use_all_singular_values: bool = False):
+                 use_all_singular_values: bool = False,
+                 backend: str = "eigh"):
+        """backend: 'eigh' = reference-exact loss (float64-CPU oracle);
+        'chol' = Cholesky-whitening + custom singular-value VJP — the
+        TPU-native path (no eigh gradient in the compiled program)."""
         self.model = DeepCCA(encoders=encoders)
         self.outdim = outdim_size
         self.use_all = use_all_singular_values
+        self.backend = backend
         self.tx = optax.chain(
             optax.add_decayed_weights(reg_par),  # RMSprop weight_decay
             optax.rmsprop(learning_rate),
@@ -43,9 +48,11 @@ class Solver:
         return variables, self.tx.init(variables["params"])
 
     def _loss(self, outs):
+        pair = cca_loss_chol if self.backend == "chol" else cca_loss
+        multi = mcca_loss_chol if self.backend == "chol" else mcca_loss
         if len(outs) == 2:
-            return cca_loss(outs[0], outs[1], self.outdim, self.use_all)
-        return mcca_loss(outs, self.outdim, self.use_all)
+            return pair(outs[0], outs[1], self.outdim, self.use_all)
+        return multi(outs, self.outdim, self.use_all)
 
     def make_step(self):
         model, tx = self.model, self.tx

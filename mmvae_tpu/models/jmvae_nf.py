@@ -95,6 +95,15 @@ class JMVAE_NF(nn.Module):
             (x_m.reshape(x_m.shape[0], -1) - recon.reshape(x_m.shape[0], -1)) ** 2
         )
 
+    def dcca_embeddings(self, x, train: bool = False):
+        """LCCA-projected DCCA trunk outputs per modality (the frozen first
+        stage of every TwoStepsEncoder; dcca/models/mnist_svhn.py:50-95).
+        Exposed for graft verification and DCCA-space analytics."""
+        return [
+            _embedding(enc, x[m], train)
+            for m, enc in enumerate(self.dcca_encoders)
+        ]
+
     def init_all(self, x, K: int = 1, train: bool = False):
         """Touch every parameterized path so a single init() creates the full
         variable tree (the joint forward alone never reaches the unimodal

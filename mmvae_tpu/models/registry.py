@@ -354,15 +354,19 @@ def jnf_mnist_fashion(cfg: ExperimentConfig) -> ModelBundle:
 # Trimodal MNIST-SVHN-Fashion
 # ---------------------------------------------------------------------------
 
-def _msf_vaes(cfg, posterior=None, with_flow=False):
+def _msf_vaes(cfg, posterior=None, with_flow=False, encoders=None):
+    if encoders is None:
+        encoders = [MLPEncoder(latent_dim=cfg.latent_dim),
+                    EncoderSVHN(latent_dim=cfg.latent_dim),
+                    MLPEncoder(latent_dim=cfg.latent_dim)]
     return [
-        _vae(cfg, MLPEncoder(latent_dim=cfg.latent_dim),
+        _vae(cfg, encoders[0],
              MLPDecoder(latent_dim=cfg.latent_dim, output_shape=(1, 28, 28)),
              "mnist", posterior=posterior, with_flow=with_flow),
-        _vae(cfg, EncoderSVHN(latent_dim=cfg.latent_dim),
+        _vae(cfg, encoders[1],
              DecoderSVHN(latent_dim=cfg.latent_dim), "svhn",
              posterior=posterior, with_flow=with_flow),
-        _vae(cfg, MLPEncoder(latent_dim=cfg.latent_dim),
+        _vae(cfg, encoders[2],
              MLPDecoder(latent_dim=cfg.latent_dim, output_shape=(1, 28, 28)),
              "fashion", posterior=posterior, with_flow=with_flow),
     ]
@@ -393,8 +397,17 @@ def jnf_msf(cfg: ExperimentConfig) -> ModelBundle:
         latent_dim=cfg.latent_dim, hidden_dim=512,
         num_hidden_layers=cfg.num_hidden_layers, name="joint_encoder",
     )
-    model = JMVAE_NF(joint_encoder=joint, vaes=_msf_vaes(cfg, "normal", True),
-                     posterior=cfg.dist)
+    dcca, encoders = None, None
+    if cfg.dcca:
+        # Trimodal DCCA (jmvae_nf/mnist_svhn_fashion.py:59-66): raw mcca
+        # trunks — NO LCCA applied for msf (apply_linear_cca=False,
+        # main_mnist_svhn_fashion.py:180) — under TwoStepsEncoders x3
+        dcca = _dcca_pair(cfg, dcca_encoders_msf, 16, None)
+        encoders = [TwoStepsEncoder(first_encoder=d, latent_dim=cfg.latent_dim)
+                    for d in dcca]
+    model = JMVAE_NF(joint_encoder=joint,
+                     vaes=_msf_vaes(cfg, "normal", True, encoders),
+                     posterior=cfg.dist, dcca_encoders=dcca)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses) if len(cfg.recon_losses) == 3
                      else ("normal",) * 3,
@@ -420,12 +433,15 @@ def mvae_msf(cfg: ExperimentConfig) -> ModelBundle:
 # MedMNIST (pneumonia <-> blood)
 # ---------------------------------------------------------------------------
 
-def _medmnist_vaes(cfg, posterior=None, with_flow=False):
+def _medmnist_vaes(cfg, posterior=None, with_flow=False, encoders=None):
+    if encoders is None:
+        encoders = [medmnist_encoder(cfg.latent_dim, 1),
+                    medmnist_encoder(cfg.latent_dim, 3)]
     return [
-        _vae(cfg, medmnist_encoder(cfg.latent_dim, 1),
+        _vae(cfg, encoders[0],
              medmnist_decoder(cfg.latent_dim, 1), "pneumonia",
              posterior=posterior, with_flow=with_flow),
-        _vae(cfg, medmnist_encoder(cfg.latent_dim, 3),
+        _vae(cfg, encoders[1],
              medmnist_decoder(cfg.latent_dim, 3), "blood",
              posterior=posterior, with_flow=with_flow),
     ]
@@ -445,8 +461,18 @@ def jnf_medmnist(cfg: ExperimentConfig) -> ModelBundle:
         latent_dim=cfg.latent_dim, hidden_dim=512,
         num_hidden_layers=cfg.num_hidden_layers, name="joint_encoder",
     )
-    model = JMVAE_NF(joint_encoder=joint, vaes=_medmnist_vaes(cfg, "normal", True),
-                     posterior=cfg.dist)
+    dcca, encoders = None, None
+    if cfg.dcca:
+        # JMVAE-NF-DCCA medmnist (modalities/medmnist.py:48-56): DCCA
+        # trunks (medmnist ResNets, dcca/models/medmnist.py:16-21) under
+        # TwoStepsEncoders
+        artifacts = _load_dcca_artifacts(cfg, "medmnist")[0]
+        dcca = _dcca_pair(cfg, dcca_encoders_medmnist, 16, artifacts)
+        encoders = [TwoStepsEncoder(first_encoder=d, latent_dim=cfg.latent_dim)
+                    for d in dcca]
+    model = JMVAE_NF(joint_encoder=joint,
+                     vaes=_medmnist_vaes(cfg, "normal", True, encoders),
+                     posterior=cfg.dist, dcca_encoders=dcca)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0),
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
@@ -466,14 +492,17 @@ def mvae_medmnist(cfg: ExperimentConfig) -> ModelBundle:
 # CelebA (image <-> 40 binary attributes)
 # ---------------------------------------------------------------------------
 
-def _celeba_vaes(cfg, posterior=None, with_flow=False):
+def _celeba_vaes(cfg, posterior=None, with_flow=False, encoders=None):
     """Image modality: ResNet enc/dec (jmvae_nf/celeba.py:23 pythae nets);
     attribute modality: MLP over the 1x1x40 attribute tensor
-    (datasets.py:419)."""
+    (datasets.py:419). encoders overrides (DCCA TwoStepsEncoders)."""
+    if encoders is None:
+        encoders = [celeba_encoder(cfg.latent_dim),
+                    MLPEncoder(latent_dim=cfg.latent_dim)]
     return [
-        _vae(cfg, celeba_encoder(cfg.latent_dim), celeba_decoder(cfg.latent_dim),
+        _vae(cfg, encoders[0], celeba_decoder(cfg.latent_dim),
              "celeb", posterior=posterior, with_flow=with_flow),
-        _vae(cfg, MLPEncoder(latent_dim=cfg.latent_dim),
+        _vae(cfg, encoders[1],
              MLPDecoder(latent_dim=cfg.latent_dim, output_shape=(1, 1, 40)),
              "attributes", posterior=posterior, with_flow=with_flow),
     ]
@@ -498,8 +527,18 @@ def jnf_celeba(cfg: ExperimentConfig) -> ModelBundle:
         latent_dim=cfg.latent_dim, hidden_dim=512,
         num_hidden_layers=cfg.num_hidden_layers, name="joint_encoder",
     )
-    model = JMVAE_NF(joint_encoder=joint, vaes=_celeba_vaes(cfg, "normal", True),
-                     posterior=cfg.dist)
+    dcca, encoders = None, None
+    if cfg.dcca:
+        # JMVAE-NF-DCCA celeba (jmvae_nf/celeba.py:74-85): DCCA trunks
+        # (ResNet image / MLP attrs, dcca/models/celeba.py) under
+        # TwoStepsEncoders; LCCA wrapper latent 40 (celeba.py:50)
+        artifacts = _load_dcca_artifacts(cfg, "celeba")[0]
+        dcca = _dcca_pair(cfg, dcca_encoders_celeba, 40, artifacts)
+        encoders = [TwoStepsEncoder(first_encoder=d, latent_dim=cfg.latent_dim)
+                    for d in dcca]
+    model = JMVAE_NF(joint_encoder=joint,
+                     vaes=_celeba_vaes(cfg, "normal", True, encoders),
+                     posterior=cfg.dist, dcca_encoders=dcca)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 50.0),
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
