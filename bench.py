@@ -83,16 +83,17 @@ def measure_tpu(steps: int = 100, warmup: int = 3) -> float:
     counter = jnp.int32(0)
 
     t0 = time.time()
+    data_state = pipeline.data_state
     for _ in range(warmup):
         variables, opt_state, counter, loss, _ = step(
-            variables, opt_state, rows_dev, counter, key, lr, one, one)
+            variables, opt_state, data_state, rows_dev, counter, key, lr, one, one)
     jax.block_until_ready(loss)
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(steps):
         variables, opt_state, counter, loss, _ = step(
-            variables, opt_state, rows_dev, counter, key, lr, one, one)
+            variables, opt_state, data_state, rows_dev, counter, key, lr, one, one)
     jax.block_until_ready(loss)
     dt = time.time() - t0
     sps = BATCH * steps / dt

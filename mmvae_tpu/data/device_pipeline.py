@@ -69,9 +69,19 @@ class DeviceDataPipeline:
         for s in range(0, stop, self.batch_size):
             yield order[s: s + self.batch_size]
 
+    @property
+    def data_state(self):
+        """Device-resident (arrays, tables) to pass as jitted-step ARGUMENTS.
+        Closing over them instead would embed them as HLO constants — the
+        compile request then carries the full dataset (observed as an HTTP
+        413 from the remote-compile tunnel at ~1GB) and every recompile
+        re-ships it."""
+        return (tuple(self.device_arrays), tuple(self.pair_indices))
+
     def gather_fn(self):
-        """Pure fn(pair_rows) -> [x_m] for use INSIDE a jitted train step:
-        index-pair gather + uint8 decode + [0,1] normalize, fused by XLA.
+        """Pure fn(pair_rows, (arrays, tables)) -> [x_m] for use INSIDE a
+        jitted train step: index-pair gather + uint8 decode + [0,1]
+        normalize, fused by XLA.
 
         Row extraction uses a one-hot matmul instead of jnp.take: TPU
         gathers from large tables lower to a serial path (measured
@@ -79,15 +89,15 @@ class DeviceDataPipeline:
         one-hot contraction is EXACT for 8-bit data: bf16 represents
         integers <= 256 exactly and each output row touches one source row.
         """
-        arrays = self.device_arrays
-        tables = self.pair_indices
         flags = tuple(self.is_uint8)
+        shapes = tuple(a.shape for a in self.device_arrays)
 
-        def gather(pair_rows):
+        def gather(pair_rows, data_state):
+            arrays, tables = data_state
             out = []
-            for arr, table, u8 in zip(arrays, tables, flags):
+            for arr, table, u8, shp in zip(arrays, tables, flags, shapes):
                 rows = jnp.take(table, pair_rows, axis=0)  # small 1-D table
-                n_base = arr.shape[0]
+                n_base = shp[0]
                 onehot = (rows[:, None] == jnp.arange(n_base)[None, :])
                 flat = arr.reshape(n_base, -1)
                 if u8:
@@ -98,7 +108,7 @@ class DeviceDataPipeline:
                 else:
                     x = jnp.dot(onehot.astype(flat.dtype), flat,
                                 preferred_element_type=jnp.float32)
-                out.append(x.reshape(rows.shape[0], *arr.shape[1:]))
+                out.append(x.reshape(rows.shape[0], *shp[1:]))
             return out
 
         return gather

@@ -459,7 +459,10 @@ def _m_vaevae(model, variables, x, key, spec, dist_fn, K, beta, epoch, warmup,
         kld = jnp.sum(
             D.kl(spec.posterior, LocScale(vout["mu"], vout["std"]), prior(spec)), axis=-1
         )
-        losses.append(jnp.sum(jnp.mean(lpx - beta_prior * kld, axis=0)))
+        # reference elbo (objectives.py:20-25) SUMS over the batch (its
+        # .mean(0) runs over the K=1 sample axis) while the alignment reg
+        # below MEANS over the batch — the asymmetry is part of the spec
+        losses.append(jnp.sum(lpx - beta_prior * kld))
         qs.append(LocScale(vout["mu"], vout["std"]))
     if spec.align != -1:
         reg = 0.5 * (

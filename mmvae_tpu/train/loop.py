@@ -156,8 +156,9 @@ class Trainer:
             inner = self._build_train_step(past_warmup)
             gather = pipeline.gather_fn()
 
-            def step(variables, opt_state, pair_rows, key, lr, beta_kl, epoch):
-                xs = gather(pair_rows)
+            def step(variables, opt_state, data_state, pair_rows, key, lr,
+                     beta_kl, epoch):
+                xs = gather(pair_rows, data_state)
                 return inner(variables, opt_state, xs, key, lr, beta_kl, epoch)
 
             self._step_cache[key_] = jax.jit(step, donate_argnums=(0, 1))
@@ -174,11 +175,11 @@ class Trainer:
             inner = self._build_train_step(past_warmup)
             gather = pipeline.gather_fn()
 
-            def step(variables, opt_state, rows_all, counter, key, lr,
-                     beta_kl, epoch):
+            def step(variables, opt_state, data_state, rows_all, counter, key,
+                     lr, beta_kl, epoch):
                 rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
                                                     keepdims=False)
-                xs = gather(rows)
+                xs = gather(rows, data_state)
                 variables, opt_state, loss, details = inner(
                     variables, opt_state, xs, jax.random.fold_in(key, counter),
                     lr, beta_kl, epoch)
@@ -198,11 +199,12 @@ class Trainer:
             inner = self._build_train_step(past_warmup)
             gather = pipeline.gather_fn()
 
-            def chunk(variables, opt_state, rows, key, lr, beta_kl, epoch):
+            def chunk(variables, opt_state, data_state, rows, key, lr,
+                      beta_kl, epoch):
                 def body(carry, inp):
                     variables, opt_state = carry
                     rows_i, key_i = inp
-                    xs = gather(rows_i)
+                    xs = gather(rows_i, data_state)
                     variables, opt_state, loss, details = inner(
                         variables, opt_state, xs, key_i, lr, beta_kl, epoch)
                     return (variables, opt_state), (loss, details)
@@ -229,10 +231,12 @@ class Trainer:
         rows_dev = jnp.asarray(np.stack(list(pipeline.epoch_index_batches())))
         counter = jnp.int32(0)
         ekey = jax.random.fold_in(key, epoch)
+        data_state = pipeline.data_state
         losses = []
         for _ in range(rows_dev.shape[0]):
             (state.variables, state.opt_state, counter, loss, details) = step(
-                state.variables, state.opt_state, rows_dev, counter, ekey,
+                state.variables, state.opt_state, data_state, rows_dev,
+                counter, ekey,
                 jnp.float32(lr), jnp.float32(beta_kl), jnp.float32(epoch),
             )
             losses.append(loss)

@@ -27,7 +27,7 @@ def test_gather_matches_host():
     pipeline, base, idx = _pipeline()
     gather = pipeline.gather_fn()
     rows = jnp.arange(8, dtype=jnp.int32)
-    xs = jax.jit(gather)(rows)
+    xs = jax.jit(gather)(rows, pipeline.data_state)
     for m in range(2):
         expect = base[m][idx[m][:8]].astype(np.float32) / 255.0
         np.testing.assert_allclose(np.asarray(xs[m]), expect, atol=1e-6)
@@ -44,7 +44,7 @@ def test_device_step_matches_host_step():
     pipeline, base, idx = _pipeline()
     gather = pipeline.gather_fn()
     rows = jnp.arange(8, dtype=jnp.int32)
-    xs = jax.jit(gather)(rows)
+    xs = jax.jit(gather)(rows, pipeline.data_state)
 
     key = jax.random.PRNGKey(0)
     variables = trainer.init_variables([np.asarray(x) for x in xs], key)
@@ -61,7 +61,7 @@ def test_device_step_matches_host_step():
     dev_step = trainer.device_train_step(past_warmup=True, pipeline=pipeline)
     v2, o2, loss2, _ = dev_step(
         jax.tree.map(jnp.copy, variables), jax.tree.map(jnp.copy, opt_state),
-        rows, key, lr, one, one)
+        pipeline.data_state, rows, key, lr, one, one)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(v1["params"]), jax.tree.leaves(v2["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)

@@ -204,6 +204,51 @@ def test_hmc_poe_sampling():
     assert np.isfinite(np.asarray(z)).all()
 
 
+def test_hmc_poe_statistical():
+    """Statistical validation of the HMC PoE sampler (jmvae_nf.py:332-437):
+    with no flows the product of Gaussian experts divided by the prior is a
+    Gaussian with precision P = sum_m 1/std_m^2 - 1 and mean
+    P^-1 sum_m mu_m/std_m^2 — the chain's sample moments must match.
+    Catches sign, step-size, and acceptance regressions the smoke test
+    can't."""
+    from mmvae_tpu.eval.hmc import sample_from_poe_subset
+
+    cfg = ExperimentConfig(
+        model="jnf_circles_squares", obj="jmvae_nf", dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, no_nf=True,
+    )
+    bundle = registry.build(cfg)
+    train, _, _ = get_dataloaders("circles_squares", batch_size=8,
+                                  dataset_size=10, n_repeat=2)
+    xs, _ = next(iter(train))
+    xs = [jnp.asarray(x[:3]) for x in xs]
+    key = jax.random.PRNGKey(0)
+    variables = bundle.model.init({"params": key, "sample": key}, xs, K=1,
+                                  method="init_all")
+
+    # analytic product posterior from the actual encoder outputs
+    params = bundle.model.apply(variables, xs, method="encode_all_unimodal")
+    prec = -jnp.ones_like(params[0][0])  # divide_prior subtracts N(0,1)
+    mean_num = jnp.zeros_like(params[0][0])
+    for mu, std in params:
+        prec = prec + 1.0 / std ** 2
+        mean_num = mean_num + mu / std ** 2
+    assert np.all(np.asarray(prec) > 0.1), "product must be proper"
+    expected_mean = np.asarray(mean_num / prec)
+    expected_std = np.asarray(1.0 / jnp.sqrt(prec))
+
+    z = sample_from_poe_subset(bundle.model, variables, [0, 1], xs, key,
+                               mcmc_steps=80, n_lf=5, eps_lf=0.3, K=400)
+    z = np.asarray(z)  # (400, 3, 2)
+    got_mean = z.mean(axis=0)
+    got_std = z.std(axis=0)
+    # MC error of the mean ~ std/sqrt(400); allow generous slack for
+    # autocorrelation
+    np.testing.assert_allclose(got_mean, expected_mean,
+                               atol=5 * expected_std.max() / np.sqrt(400) + 0.05)
+    np.testing.assert_allclose(got_std, expected_std, rtol=0.25)
+
+
 def test_quality_assess_harness():
     """QualityAssess (Quality_assess.py rebuild): identical distributions
     score near-zero FID and high PRD f-scores."""
