@@ -43,17 +43,23 @@ def make_circles_squares(
     circles = np.empty((n, 1, size_image, size_image), dtype=np.float32)
     labels = np.empty(n, dtype=np.int64)
     half = circle_thickness / 2
-    for i in range(n):
-        if i % 2 == 0:  # full disc <-> full square (label 1)
-            circles[i, 0] = rr2 <= r_circles[i] ** 2
-            squares[i, 0] = rl1 <= r_squares[i]
-            labels[i] = 1
-        else:  # ring <-> line square (label 0)
-            circles[i, 0] = (rr2 <= (r_circles[i] + half) ** 2) & (
-                rr2 >= (r_circles[i] - half) ** 2
-            )
-            squares[i, 0] = (rl1 <= r_squares[i] + half) & (rl1 >= r_squares[i] - half)
-            labels[i] = 0
+    # vectorized rasterization (identical output to the reference's per-image
+    # loop; the full dataset is 200k images — the scalar loop took minutes)
+    labels[0::2], labels[1::2] = 1, 0
+
+    def _r3(r):  # (k,) radii -> (k,1,1) for broadcasting against the grid
+        return r[:, None, None]
+
+    for s in range(0, n, 20000):  # chunk to bound the boolean temporaries
+        e = min(s + 20000, n)
+        rc, rs = r_circles[s:e], r_squares[s:e]
+        even = np.arange(s, e) % 2 == 0
+        full_c = rr2[None] <= _r3(rc) ** 2
+        ring_c = (rr2[None] <= _r3(rc + half) ** 2) & (rr2[None] >= _r3(rc - half) ** 2)
+        full_s = rl1[None] <= _r3(rs)
+        line_s = (rl1[None] <= _r3(rs + half)) & (rl1[None] >= _r3(rs - half))
+        circles[s:e, 0] = np.where(even[:, None, None], full_c, ring_c)
+        squares[s:e, 0] = np.where(even[:, None, None], full_s, line_s)
 
     perm = rng.permutation(n)
     n_test = int(round(n * test_size))
