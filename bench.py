@@ -1,15 +1,26 @@
-"""Benchmark: paired samples/sec/chip on the BASELINE flagship config —
-MNIST-SVHN MMVAE, Laplace MoE posteriors, DReG-looser K=30, batch 128
-(configs_experiments/mnist_svhn/mmvae.json).
+"""Benchmark: paired samples/sec/chip, FLOPs/step, and MFU.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Default (driver mode) measures the BASELINE flagship config — MNIST-SVHN
+MMVAE, Laplace MoE posteriors, DReG-looser K=30, batch 128
+(configs_experiments/mnist_svhn/mmvae.json) — and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "flops_per_step": F, "mfu": M}
+
+`python bench.py --all` additionally measures the paper's actual model —
+JMVAE-NF post-warmup (joint encoder + MAF-flow KLD path) — and a full
+measured MSF epoch (vs the reference's ~60-75s/epoch GPU timings,
+msf.sh:9-24), writing every row to bench_details.json and still printing
+the single flagship JSON line last.
 
 vs_baseline compares against the reference-style PyTorch implementation of
 the same model + objective running on this host's CPU (the reference has no
 recorded throughput numbers — BASELINE.md — so the north-star comparison is
 >=10x over CPU torch). The torch baseline is measured once and cached in
 .bench_baseline.json.
+
+MFU denominator: TPU v5e peak 197e12 bf16 FLOP/s. The train step is mostly
+f32 (the MXU runs f32 matmuls at reduced rate), so MFU here is a
+conservative "fraction of the chip's bf16 ceiling" figure.
 """
 
 import json
@@ -21,6 +32,7 @@ BATCH = 128
 K = 30
 LATENT = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+V5E_PEAK_FLOPS = 197e12  # bf16
 
 
 def log(*a):
@@ -31,11 +43,25 @@ def log(*a):
 # JAX/TPU measurement
 # ---------------------------------------------------------------------------
 
-def measure_tpu(steps: int = 100, warmup: int = 3) -> float:
+def _make_pipeline(shapes, n_base, n_pairs, batch):
+    import numpy as np
+
+    from mmvae_tpu.data.device_pipeline import DeviceDataPipeline
+
+    rng = np.random.default_rng(0)
+    base = [(rng.uniform(size=(n_base,) + s) * 255).astype(np.uint8)
+            for s in shapes]
+    pair_idx = [rng.integers(0, n_base, n_pairs).astype(np.int32)
+                for _ in shapes]
+    return DeviceDataPipeline(base, pair_idx, batch, shuffle=True)
+
+
+def measure_tpu(cfg, label, steps: int = 100, warmup: int = 3,
+                n_base: int = 8192, n_pairs: int = None,
+                past_warmup: bool = True) -> dict:
     """End-to-end train-step throughput WITH the fused on-device input
-    pipeline: per step the host ships only a (B,) int32 index batch; the
-    index-pair gather + uint8 decode + normalize run inside the jitted step
-    (data/device_pipeline.py — the BASELINE north-star input stage)."""
+    pipeline (data/device_pipeline.py): per step the host ships only a (B,)
+    int32 index batch. Returns {sps, flops_per_step, mfu, step_ms}."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,62 +70,121 @@ def measure_tpu(steps: int = 100, warmup: int = 3) -> float:
 
     enable_compilation_cache()
 
-    from mmvae_tpu.core.config import ExperimentConfig
-    from mmvae_tpu.data.device_pipeline import DeviceDataPipeline
     from mmvae_tpu.models import registry
     from mmvae_tpu.train import Trainer
 
-    cfg = ExperimentConfig(
-        model="mnist_svhn", obj="dreg", looser=True, K=K, dist="laplace",
-        recon_losses=("normal", "normal"), latent_dim=LATENT,
-        batch_size=BATCH, learning_rate=1e-3, warmup=0,
-    )
     bundle = registry.build(cfg)
     trainer = Trainer(bundle.model, bundle.spec, cfg)
-
-    rng = np.random.default_rng(0)
-    n_base = 8192
-    base = [
-        (rng.uniform(size=(n_base, 1, 28, 28)) * 255).astype(np.uint8),
-        (rng.uniform(size=(n_base, 3, 32, 32)) * 255).astype(np.uint8),
-    ]
-    n_pairs = 4 * n_base
-    pair_idx = [rng.integers(0, n_base, n_pairs).astype(np.int32) for _ in range(2)]
-    pipeline = DeviceDataPipeline(base, pair_idx, BATCH, shuffle=True)
+    batch = cfg.batch_size
+    pipeline = _make_pipeline(bundle.shape_mods, n_base,
+                              n_pairs or 4 * n_base, batch)
 
     key = jax.random.PRNGKey(0)
-    xs0 = [np.zeros((BATCH, 1, 28, 28), np.float32),
-           np.zeros((BATCH, 3, 32, 32), np.float32)]
+    xs0 = [np.zeros((batch,) + s, np.float32) for s in bundle.shape_mods]
     variables = trainer.init_variables(xs0, key)
-    opt_state = trainer.init_opt_state(variables)
+    opt_state = trainer.init_opt_state(variables, past_warmup=past_warmup)
     # device-counter step: identical program every dispatch, all-on-device
     # args -> host enqueues asynchronously with zero per-step transfers
-    step = trainer.device_counter_step(past_warmup=True, pipeline=pipeline)
+    step = trainer.device_counter_step(past_warmup=past_warmup,
+                                       pipeline=pipeline)
 
     lr = jnp.float32(1e-3)
     one = jnp.float32(1.0)
     it = pipeline.epoch_index_batches()
-    rows_dev = jnp.asarray(np.stack([next(it) for _ in range(warmup + steps)]))
+    n_staged = min(warmup + steps, len(pipeline))
+    rows_dev = jnp.asarray(np.stack([next(it) for _ in range(n_staged)]))
     counter = jnp.int32(0)
+    data_state = pipeline.data_state
+    args = (variables, opt_state, data_state, rows_dev, counter, key, lr,
+            one, one)
+
+    # FLOPs from the compiled program (jax cost analysis)
+    flops = None
+    try:
+        compiled = step.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # cost_analysis can be backend-dependent
+        log(f"[{label}] cost_analysis unavailable: {e}")
 
     t0 = time.time()
-    data_state = pipeline.data_state
     for _ in range(warmup):
         variables, opt_state, counter, loss, _ = step(
-            variables, opt_state, data_state, rows_dev, counter, key, lr, one, one)
+            variables, opt_state, data_state, rows_dev, counter, key, lr,
+            one, one)
     jax.block_until_ready(loss)
-    log(f"compile+warmup: {time.time() - t0:.1f}s")
+    log(f"[{label}] compile+warmup: {time.time() - t0:.1f}s")
 
+    n_meas = min(steps, n_staged - warmup)
     t0 = time.time()
-    for _ in range(steps):
+    for _ in range(n_meas):
         variables, opt_state, counter, loss, _ = step(
-            variables, opt_state, data_state, rows_dev, counter, key, lr, one, one)
+            variables, opt_state, data_state, rows_dev, counter, key, lr,
+            one, one)
     jax.block_until_ready(loss)
     dt = time.time() - t0
-    sps = BATCH * steps / dt
-    log(f"tpu (fused on-device input pipeline): {steps} steps in {dt:.2f}s -> "
-        f"{sps:.1f} paired samples/s (devices {jax.devices()})")
-    return sps
+    sps = batch * n_meas / dt
+    row = {
+        "label": label,
+        "sps": round(sps, 1),
+        "step_ms": round(1000 * dt / n_meas, 3),
+        "flops_per_step": flops,
+        "mfu": round(flops * (n_meas / dt) / V5E_PEAK_FLOPS, 4) if flops else None,
+    }
+    log(f"[{label}] {n_meas} steps in {dt:.2f}s -> {sps:.1f} paired samples/s"
+        f" | {row['step_ms']}ms/step | flops/step={flops and f'{flops:.3e}'}"
+        f" | MFU={row['mfu']} (devices {jax.devices()})")
+    return row
+
+
+def flagship_cfg():
+    from mmvae_tpu.core.config import ExperimentConfig
+
+    return ExperimentConfig(
+        model="mnist_svhn", obj="dreg", looser=True, K=K, dist="laplace",
+        recon_losses=("normal", "normal"), latent_dim=LATENT,
+        batch_size=BATCH, learning_rate=1e-3, warmup=0,
+    )
+
+
+def jnf_cfg():
+    """The paper's model: JMVAE-NF post-warmup (joint encoder + MAF-flow
+    KLD path, n_made_blocks=2, no_recon as in the published configs)."""
+    from mmvae_tpu.core.config import ExperimentConfig
+
+    return ExperimentConfig(
+        model="jnf_mnist_svhn_dcca", obj="jmvae_nf", K=1, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=LATENT,
+        batch_size=BATCH, learning_rate=1e-3, warmup=0, no_nf=False,
+        flow="maf", no_recon=True, dcca=False,
+    )
+
+
+def msf_cfg():
+    from mmvae_tpu.core.config import ExperimentConfig
+
+    return ExperimentConfig(
+        model="jnf_msf", obj="jmvae_nf", K=1, dist="normal",
+        recon_losses=("normal", "normal", "normal"), latent_dim=LATENT,
+        batch_size=128, learning_rate=1e-3, warmup=0, no_nf=False,
+        flow="maf", no_recon=True,
+    )
+
+
+def measure_msf_epoch() -> dict:
+    """An actually-measured trimodal MSF epoch at reference scale (~100k
+    paired triples; the reference logs ~60s/epoch JMVAE-NF on GPU,
+    msf.sh:9-24)."""
+    n_pairs = 100_000
+    steps = n_pairs // 128
+    row = measure_tpu(msf_cfg(), "msf-jnf-epoch", steps=steps, warmup=3,
+                      n_base=10000, n_pairs=n_pairs)
+    row["epoch_s"] = round(row["step_ms"] * steps / 1000, 1)
+    row["n_pairs"] = n_pairs
+    row["reference_gpu_epoch_s"] = 60.0
+    return row
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +214,6 @@ def measure_torch_cpu(steps: int = 3) -> float:
     class MLPDec(nn.Module):
         def __init__(self, outshape):
             super().__init__()
-            import numpy as np
             self.outshape = outshape
             self.l = nn.Linear(LATENT, 512)
             self.out = nn.Linear(512, int(torch.tensor(outshape).prod()))
@@ -238,13 +322,26 @@ def get_baseline() -> float:
 
 
 def main():
+    run_all = "--all" in sys.argv
     baseline = get_baseline()
-    sps = measure_tpu()
+    rows = []
+    flagship = measure_tpu(flagship_cfg(), "mmvae-dreg-K30")
+    rows.append(flagship)
+    if run_all:
+        rows.append(measure_tpu(jnf_cfg(), "jnf-postwarmup-maf"))
+        rows.append(measure_msf_epoch())
+        with open(os.path.join(os.path.dirname(__file__),
+                               "bench_details.json"), "w") as f:
+            json.dump({"rows": rows, "baseline_cpu_torch_sps": baseline}, f,
+                      indent=2)
+        log("bench_details.json written")
     print(json.dumps({
         "metric": "paired samples/sec/chip (MNIST-SVHN MMVAE, DReG-looser K=30, B=128)",
-        "value": round(sps, 1),
+        "value": flagship["sps"],
         "unit": "samples/s",
-        "vs_baseline": round(sps / baseline, 2),
+        "vs_baseline": round(flagship["sps"] / baseline, 2),
+        "flops_per_step": flagship["flops_per_step"],
+        "mfu": flagship["mfu"],
     }))
 
 

@@ -140,6 +140,10 @@ def main(argv=None):
 
         val_xs, _ = next(iter(val_loader))
         val_xs = [jnp.asarray(x[:8]) for x in val_xs]
+        # circles radius analytics (jmvae_nf_circles.py:82-132): correlate
+        # true radii with radii extracted from cross reconstructions
+        val_extras = getattr(val_loader.dataset, "extras", {}) or {}
+        has_radii = {"r_squares", "r_circles"} <= set(val_extras)
 
         def analytics(trainer_, state_, epoch, tr_det, va_det):
             """Per-epoch image grids (main.py:195-209): conditional samples,
@@ -163,6 +167,18 @@ def main(argv=None):
                 if len(gen) >= 2:
                     save_samples([np.asarray(g) for g in gen[:2]],
                                  os.path.join(run_path, f"generate_{epoch:03d}.png"))
+                if has_radii:
+                    from ..eval.latent_analysis import analyse_rayons
+
+                    ds = val_loader.dataset
+                    n_an = min(64, len(ds))
+                    rm = analyse_rayons(
+                        bundle.model, state_.variables,
+                        [m[:n_an] for m in ds.modalities],
+                        ds.extras["r_squares"][:n_an],
+                        ds.extras["r_circles"][:n_an],
+                        akey, run_path, epoch)
+                    print(f"[analytics] rayon metrics epoch {epoch}: {rm}")
             except Exception as e:  # analytics must never kill training
                 print(f"[analytics] skipped at epoch {epoch}: {e}")
 

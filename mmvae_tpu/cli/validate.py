@@ -97,6 +97,15 @@ def main(argv=None):
                         n_data=min(32, len(xs[0])), ns=8, mcmc_steps=20))
                 except Exception as e:
                     print(f"[poe_subset_accuracy] skipped: {e}")
+            if bundle.dataset == "circles_squares" and bi == 0:
+                # circles conditional radius distribution metric
+                # (jmvae_nf_circles.py:107-129)
+                from ..eval.latent_analysis import conditional_rdist_metrics
+
+                metrics.update(conditional_rdist_metrics(
+                    bundle.model, variables, xs, jax.random.fold_in(kb, 41),
+                    run_path=run_path if r == 0 else None,
+                    n=min(100, info.ns * 10), n_data=min(100, len(xs[0]))))
             for k, v in metrics.items():
                 batch_metrics.setdefault(k, []).append(v)
         metrics = {k: float(np.mean(v)) for k, v in batch_metrics.items()}
@@ -122,6 +131,17 @@ def main(argv=None):
     if len(gen) == 2:
         save_samples([np.asarray(g) for g in gen[:2]],
                      os.path.join(run_path, "generate_val.png"))
+    if bundle.dataset == "circles_squares" and hasattr(bundle.model,
+                                                       "joint_encoder"):
+        # PoE visualisation (jmvae_nf_circles.py:138-214)
+        from ..eval.latent_analysis import visualize_poe
+
+        try:
+            xs0, _ = next(iter(test_l))
+            visualize_poe(bundle.model, variables,
+                          [jnp.asarray(x) for x in xs0], run_path, key)
+        except Exception as e:
+            print(f"[visualize_poe] skipped: {e}")
     return summary
 
 

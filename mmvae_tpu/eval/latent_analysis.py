@@ -76,6 +76,78 @@ def analyse(model, variables, data, classes, key, run_path: str, epoch: int,
     return metrics
 
 
+def negative_entropy(rayons, rng, bins) -> float:
+    """Approximate per-datapoint negative entropy of the conditional radius
+    distribution vs uniform (utils.py:301-312). rayons: (n_data, n_samples)."""
+    rayons = np.asarray(rayons)
+    entropy = 0.0
+    for row in rayons:
+        p = np.histogram(row, range=rng, bins=bins, density=False)[0] + 1e-5
+        p = p / len(row)
+        entropy += np.sum(np.log(p) * p)
+    return float(entropy / len(rayons))
+
+
+def conditional_rdist_metrics(model, variables, data, key, run_path=None,
+                              epoch: int = 0, n: int = 100, n_data: int = 100):
+    """Circles conditional radius distribution: histogram of radii extracted
+    from cross-modal samples + the neg_entropy metric
+    (jmvae_nf_circles.py:94-129, range (0,1), 10 bins)."""
+    from .generation import sample_from_conditional
+    from ..vis import extract_rayon, plot_hist
+
+    bdata = [jnp.asarray(d[:n_data]) for d in data]
+    samples = sample_from_conditional(model, variables, bdata, key, n=n)
+    # (n, B) radii per direction, rows = datapoints
+    r01 = extract_rayon(np.asarray(samples[0][1])).T
+    r10 = extract_rayon(np.asarray(samples[1][0])).T
+    r = np.concatenate([r01, r10], axis=0)
+    if run_path is not None:
+        plot_hist(r.ravel(), f"{run_path}/hist_{epoch:03d}.png")
+    return {"neg_entropy": negative_entropy(r, (0, 1), 10)}
+
+
+def visualize_poe(model, variables, data, run_path: str, key,
+                  n_data: int = 4, N: int = 30, divide_prior: bool = False,
+                  mcmc_steps: int = 100):
+    """Scatter unimodal posteriors vs the joint posterior (top row) and vs
+    HMC samples from the product of experts (bottom row)
+    (jmvae_nf_circles.py:138-214)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .hmc import sample_from_poe_subset
+
+    bdata = [jnp.asarray(np.concatenate([np.asarray(d[:n_data])] * N))
+             for d in data]
+    u_z = [np.asarray(model.apply(
+        variables, m, bdata[m], method="infer_latent_from_mod",
+        rngs={"sample": jax.random.fold_in(key, m)})).reshape(N, n_data, -1)
+        for m in range(len(bdata))]
+    out = model.apply(variables, bdata, rngs={"sample": key})
+    j_z = np.asarray(out["z_xy"]).reshape(N, n_data, -1)
+    poe_z = np.asarray(sample_from_poe_subset(
+        model, variables, list(range(len(data))), [d[:n_data] for d in bdata],
+        jax.random.fold_in(key, 99), mcmc_steps=mcmc_steps, n_lf=10,
+        eps_lf=0.01, K=N, divide_prior=divide_prior))  # (N, n_data, D)
+
+    fig, axs = plt.subplots(2, n_data, sharex=True, sharey=True,
+                            figsize=(4 * n_data, 8))
+    for i in range(n_data):
+        for row, extra in [(0, j_z), (1, poe_z)]:
+            ax = axs[row][i] if n_data > 1 else axs[row]
+            ax.scatter(u_z[0][:, i, 0], u_z[0][:, i, 1], s=6, label="q(z|x)")
+            ax.scatter(u_z[1][:, i, 0], u_z[1][:, i, 1], s=6, label="q(z|y)")
+            ax.scatter(extra[:, i, 0], extra[:, i, 1], s=6,
+                       label="q(z|x,y)" if row == 0 else "PoE")
+    path = f"{run_path}/product_of_posteriors.png"
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
 def analyse_rayons(model, variables, data, r_squares, r_circles, key,
                    run_path: str, epoch: int):
     """Circles radius analytics: correlate true radii with radii extracted
@@ -87,8 +159,8 @@ def analyse_rayons(model, variables, data, r_squares, r_circles, key,
                                       [jnp.asarray(d) for d in data], key, n=1)
     metrics = {}
     for i, j, r_true in [(0, 1, r_circles), (1, 0, r_squares)]:
-        recon = np.asarray(samples[i][j][0])
-        r_est = extract_rayon(recon[None] if recon.ndim == 4 else recon)
+        recon = np.asarray(samples[i][j][0])  # (B, C, H, W)
+        r_est = extract_rayon(recon)
         r_true = np.asarray(r_true)[: len(r_est)]
         if np.std(r_est) > 0 and np.std(r_true) > 0:
             metrics[f"rayon_corr_{i}{j}"] = float(np.corrcoef(r_true, r_est)[0, 1])

@@ -112,14 +112,13 @@ def extract_rayon(images: np.ndarray) -> np.ndarray:
     lit pixels (utils.py extract_rayon equivalent, used by the circles
     analytics at main.py:204-209)."""
     images = np.asarray(images)
-    if images.ndim == 5:
-        images = images.reshape(-1, *images.shape[2:])
+    lead = images.shape[:-3]
+    images = images.reshape(-1, *images.shape[-3:])
     n, c, h, w = images.shape
     xs = np.linspace(-1, 1, w)
     X, Y = np.meshgrid(xs, xs)
-    r = np.sqrt(X ** 2 + Y ** 2)
-    out = np.zeros(n, np.float32)
-    for i in range(n):
-        mask = images[i, 0] > 0.5
-        out[i] = r[mask].max() if mask.any() else 0.0
-    return out
+    r = np.sqrt(X ** 2 + Y ** 2).astype(np.float32)
+    mask = images[:, 0] > 0.5
+    out = np.where(mask.any(axis=(1, 2)),
+                   (mask * r[None]).max(axis=(1, 2)), 0.0).astype(np.float32)
+    return out.reshape(lead) if lead else out

@@ -1,6 +1,8 @@
 """Eval-layer tests: generation shapes, coherence metrics, IS likelihoods,
 GMM sampler, PRD, FID math, HMC PoE sampling."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -247,6 +249,56 @@ def test_hmc_poe_statistical():
     np.testing.assert_allclose(got_mean, expected_mean,
                                atol=5 * expected_std.max() / np.sqrt(400) + 0.05)
     np.testing.assert_allclose(got_std, expected_std, rtol=0.25)
+
+
+def test_extract_rayon_and_negative_entropy():
+    from mmvae_tpu.eval.latent_analysis import negative_entropy
+    from mmvae_tpu.vis import extract_rayon
+
+    xs = np.linspace(-1, 1, 32)
+    X, Y = np.meshgrid(xs, xs)
+    imgs = np.stack([
+        ((X ** 2 + Y ** 2) <= 0.5 ** 2).astype(np.float32)[None],
+        ((X ** 2 + Y ** 2) <= 0.8 ** 2).astype(np.float32)[None],
+    ])
+    r = extract_rayon(imgs)
+    assert r.shape == (2,)
+    np.testing.assert_allclose(r, [0.5, 0.8], atol=0.08)
+    # 5-d input keeps the (K, B) lead shape for per-datapoint entropies
+    r5 = extract_rayon(np.stack([imgs, imgs]))
+    assert r5.shape == (2, 2)
+    # concentrated radii -> higher (less negative) entropy than spread ones
+    tight = np.full((4, 50), 0.5) + 1e-3 * np.random.default_rng(0).normal(size=(4, 50))
+    spread = np.random.default_rng(0).uniform(0, 1, (4, 50))
+    assert negative_entropy(tight, (0, 1), 10) > negative_entropy(spread, (0, 1), 10)
+
+
+def test_circles_rdist_and_poe_visualisation(tmp_path):
+    """Circles analytics callbacks (jmvae_nf_circles.py:94-214): the
+    conditional radius metric and the PoE scatter figure."""
+    from mmvae_tpu.eval.latent_analysis import (
+        conditional_rdist_metrics, visualize_poe,
+    )
+
+    cfg = ExperimentConfig(
+        model="jnf_circles_squares", obj="jmvae_nf", dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, no_nf=True,
+    )
+    bundle = registry.build(cfg)
+    train, _, _ = get_dataloaders("circles_squares", batch_size=8,
+                                  dataset_size=10, n_repeat=2)
+    xs, _ = next(iter(train))
+    xs = [jnp.asarray(x) for x in xs]
+    key = jax.random.PRNGKey(0)
+    variables = bundle.model.init({"params": key, "sample": key}, xs, K=1,
+                                  method="init_all")
+    m = conditional_rdist_metrics(bundle.model, variables, xs, key,
+                                  run_path=str(tmp_path), n=5, n_data=4)
+    assert np.isfinite(m["neg_entropy"])
+    assert (tmp_path / "hist_000.png").exists()
+    path = visualize_poe(bundle.model, variables, xs, str(tmp_path), key,
+                         n_data=2, N=5, mcmc_steps=2)
+    assert os.path.exists(path)
 
 
 def test_quality_assess_harness():
