@@ -184,7 +184,8 @@ def main(argv=None):
 
         callbacks.append(analytics)
 
-    use_dp = bool(cfg.extra.get("device_pipeline", True)) and cfg.mesh_data in (None, 1)
+    use_dp = bool(cfg.extra.get("device_pipeline", True)) and \
+        cfg.batch_size % mesh.shape.get("data", 1) == 0
     state = trainer.fit(train_loader, val_loader, key=jax.random.PRNGKey(cfg.seed),
                         variables_hook=variables_hook, callbacks=callbacks,
                         use_device_pipeline=use_dp)

@@ -39,6 +39,18 @@ class DeviceDataPipeline:
         self.n_pairs = len(pair_indices[0])
         self.mesh = mesh
 
+        if mesh is not None:
+            # multi-device: base arrays + tables replicated, per-step index
+            # batches sharded over 'data' (the gather output inherits the
+            # row sharding, so the whole step runs data-parallel)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._rep = NamedSharding(mesh, P())
+            self.rows_sharding = NamedSharding(mesh, P(None, "data"))
+        else:
+            self._rep = None
+            self.rows_sharding = None
+
         self.device_arrays = []
         self.is_uint8 = []
         for arr in base_arrays:
@@ -51,8 +63,13 @@ class DeviceDataPipeline:
             else:
                 dev = jnp.asarray(arr)
                 self.is_uint8.append(False)
+            if self._rep is not None:
+                dev = jax.device_put(dev, self._rep)
             self.device_arrays.append(dev)
         self.pair_indices = [jnp.asarray(i.astype(np.int32)) for i in pair_indices]
+        if self._rep is not None:
+            self.pair_indices = [jax.device_put(i, self._rep)
+                                 for i in self.pair_indices]
 
     def __len__(self):
         return self.n_pairs // self.batch_size

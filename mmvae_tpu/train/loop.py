@@ -229,6 +229,11 @@ class Trainer:
         step = self.device_counter_step(past_warmup, pipeline)
         agg: Dict[str, float] = {}
         rows_dev = jnp.asarray(np.stack(list(pipeline.epoch_index_batches())))
+        if pipeline.rows_sharding is not None:
+            # (steps, B): shard the batch axis over 'data'; the gather and
+            # the whole train step then run data-parallel, grads all-reduced
+            # by XLA
+            rows_dev = jax.device_put(rows_dev, pipeline.rows_sharding)
         counter = jnp.int32(0)
         ekey = jax.random.fold_in(key, epoch)
         data_state = pipeline.data_state
@@ -285,8 +290,13 @@ class Trainer:
         ds = train_loader.dataset
         n = len(ds)
         idx = [np.arange(n, dtype=np.int32)] * len(ds.modalities)
+        mesh = self.mesh if self.mesh.shape.get("data", 1) > 1 else None
+        if mesh is not None:
+            assert train_loader.batch_size % mesh.shape["data"] == 0, (
+                "batch_size must divide the mesh 'data' axis for the "
+                "device-pipeline path")
         return DeviceDataPipeline(ds.modalities, idx, train_loader.batch_size,
-                                  shuffle=train_loader.shuffle)
+                                  shuffle=train_loader.shuffle, mesh=mesh)
 
     def fit(self, train_loader, val_loader, key=None,
             callbacks: Optional[List[Callable]] = None,

@@ -126,6 +126,25 @@ def test_data_parallel_mesh_8_devices(tmp_path):
     assert hist["train_loss"][-1] < hist["train_loss"][0], hist
 
 
+def test_device_pipeline_on_8_device_mesh(tmp_path):
+    """The fused on-device input pipeline over the mesh: per-step index
+    batches sharded on 'data', base arrays replicated — training must run
+    data-parallel and reduce the loss."""
+    mesh = make_mesh(n_data=8)
+    cfg = ExperimentConfig(
+        model="circles_squares", obj="elbo", K=1, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=32,
+        learning_rate=1e-3, epochs=2, warmup=0,
+    )
+    bundle = registry.build(cfg)
+    train, test, val = _loaders()
+    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh,
+                      run_path=str(tmp_path))
+    trainer.fit(train, val, use_device_pipeline=True)
+    hist = trainer._history
+    assert hist["train_loss"][-1] < hist["train_loss"][0], hist
+
+
 def test_checkpoint_save_and_resume(tmp_path):
     """Checkpoint round trip: reloaded variables reproduce the saved eval
     loss exactly (use_pretrain / validate reload semantics)."""
