@@ -39,27 +39,40 @@ def make_circles_squares(
     r_circles = rng.uniform(min_rayon, max_rayon, size=n)
     r_squares = rng.uniform(min_rayon, max_rayon, size=n)
 
-    squares = np.empty((n, 1, size_image, size_image), dtype=np.float32)
-    circles = np.empty((n, 1, size_image, size_image), dtype=np.float32)
-    labels = np.empty(n, dtype=np.int64)
+    # np.zeros (fresh mmap, THP-madvise) — np.empty's arena reuse hits this
+    # sandbox's pathological ~250us/page demand faults on first touch
+    squares = np.zeros((n, 1, size_image, size_image), dtype=np.float32)
+    circles = np.zeros((n, 1, size_image, size_image), dtype=np.float32)
     half = circle_thickness / 2
-    # vectorized rasterization (identical output to the reference's per-image
-    # loop; the full dataset is 200k images — the scalar loop took minutes)
-    labels[0::2], labels[1::2] = 1, 0
+    # Vectorized rasterization. The reference alternates full/empty per
+    # index; here the (radius, image, label) tuples are generated in two
+    # contiguous blocks instead — the same set of samples (the random split
+    # below shuffles order anyway), but contiguous stores: strided
+    # interleaved writes degrade pathologically on this host's single core.
+    rc_e, rc_o = r_circles[0::2], r_circles[1::2]
+    rs_e, rs_o = r_squares[0::2], r_squares[1::2]
+    n_even = len(rc_e)
+    r_circles = np.concatenate([rc_e, rc_o])
+    r_squares = np.concatenate([rs_e, rs_o])
+    labels = np.concatenate([np.ones(n_even, np.int64),
+                             np.zeros(n - n_even, np.int64)])
 
     def _r3(r):  # (k,) radii -> (k,1,1) for broadcasting against the grid
         return r[:, None, None]
 
-    for s in range(0, n, 20000):  # chunk to bound the boolean temporaries
-        e = min(s + 20000, n)
-        rc, rs = r_circles[s:e], r_squares[s:e]
-        even = np.arange(s, e) % 2 == 0
-        full_c = rr2[None] <= _r3(rc) ** 2
-        ring_c = (rr2[None] <= _r3(rc + half) ** 2) & (rr2[None] >= _r3(rc - half) ** 2)
-        full_s = rl1[None] <= _r3(rs)
-        line_s = (rl1[None] <= _r3(rs + half)) & (rl1[None] >= _r3(rs - half))
-        circles[s:e, 0] = np.where(even[:, None, None], full_c, ring_c)
-        squares[s:e, 0] = np.where(even[:, None, None], full_s, line_s)
+    step = 20000  # chunk to bound the boolean temporaries
+    for s in range(0, n_even, step):
+        e = min(s + step, n_even)
+        circles[s:e, 0] = rr2[None] <= _r3(rc_e[s:e]) ** 2
+        squares[s:e, 0] = rl1[None] <= _r3(rs_e[s:e])
+    for s in range(0, n - n_even, step):
+        e = min(s + step, n - n_even)
+        circles[n_even + s: n_even + e, 0] = (
+            rr2[None] <= _r3(rc_o[s:e] + half) ** 2
+        ) & (rr2[None] >= _r3(rc_o[s:e] - half) ** 2)
+        squares[n_even + s: n_even + e, 0] = (
+            rl1[None] <= _r3(rs_o[s:e] + half)
+        ) & (rl1[None] >= _r3(rs_o[s:e] - half))
 
     perm = rng.permutation(n)
     n_test = int(round(n * test_size))
