@@ -27,8 +27,9 @@ def find_latest_run(experiments_dir: str, experiment: str) -> str:
     return max(runs, key=os.path.getmtime)
 
 
-def reload_model(run_path: str):
-    """-> (cfg, bundle, variables, loaders)."""
+def reload_model(run_path: str, batch_size: Optional[int] = None):
+    """-> (cfg, bundle, variables, loaders). batch_size overrides the
+    training batch size for eval (validate.py:79 reloads at 500)."""
     with open(os.path.join(run_path, "args.json")) as f:
         cfg = ExperimentConfig.from_dict(json.load(f))
     bundle = registry.build(cfg)
@@ -38,7 +39,8 @@ def reload_model(run_path: str):
 
     sig = inspect.signature(DATASETS[bundle.dataset]).parameters
     extra = {k: v for k, v in cfg.extra.items() if k in sig}
-    loaders = get_dataloaders(bundle.dataset, batch_size=cfg.batch_size,
+    loaders = get_dataloaders(bundle.dataset,
+                              batch_size=batch_size or cfg.batch_size,
                               data_path=cfg.data_path, **extra)
     train_loader = loaders[0]
     xs, _ = next(iter(train_loader))

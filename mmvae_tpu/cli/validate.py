@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--ns", type=int, default=1,
                         help="conditional samples per datapoint "
                         "(validate.py:116 uses ns=1 over the full test set)")
+    parser.add_argument("--batch-size", type=int, default=500,
+                        help="eval batch size (validate.py:79 uses 500)")
     parser.add_argument("--skip-fid", action="store_true")
     parser.add_argument("--fid-weights", type=str, default="",
                         help="path to pytorch-fid inception weights (.pt)")
@@ -46,7 +48,8 @@ def main(argv=None):
 
     run_path = info.run_path or find_latest_run(info.experiments_dir, info.model)
     print("Validating", run_path)
-    cfg, bundle, variables, (train_l, test_l, val_l) = reload_model(run_path)
+    cfg, bundle, variables, (train_l, test_l, val_l) = reload_model(
+        run_path, batch_size=info.batch_size)
     key = jax.random.PRNGKey(cfg.seed)
     classifiers = get_or_train_classifiers(bundle, (train_l, test_l, val_l),
                                            info.experiments_dir, key)

@@ -42,7 +42,8 @@ def test_train_then_validate_full_test_set(tmp_path):
 
     summary = validate_main(["--run-path", run_path,
                              "--experiments-dir", exp_dir,
-                             "--repeats", "2", "--skip-fid"])
+                             "--repeats", "2", "--skip-fid",
+                             "--batch-size", "16"])
     for k in ("acc_0_1", "acc_1_0", "joint_coherence"):
         assert k in summary
         assert 0.0 <= summary[k]["mean"] <= 1.0
