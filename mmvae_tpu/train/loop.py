@@ -29,12 +29,6 @@ from . import checkpoints, freezing
 from .schedule import BetaKlSchedule, ReduceLROnPlateau
 
 
-def _accumulate(agg: Dict[str, float], details: Dict[str, Any]):
-    """update_details contract (utils.py:238-244)."""
-    for k, v in details.items():
-        agg[k] = agg.get(k, 0.0) + float(v)
-
-
 @dataclasses.dataclass
 class TrainerState:
     variables: Dict[str, Any]
@@ -227,7 +221,6 @@ class Trainer:
         slower on tunneled chips)."""
         past_warmup = epoch >= self.cfg.warmup
         step = self.device_counter_step(past_warmup, pipeline)
-        agg: Dict[str, float] = {}
         rows_dev = jnp.asarray(np.stack(list(pipeline.epoch_index_batches())))
         if pipeline.rows_sharding is not None:
             # (steps, B): shard the batch axis over 'data'; the gather and
@@ -238,6 +231,7 @@ class Trainer:
         ekey = jax.random.fold_in(key, epoch)
         data_state = pipeline.data_state
         losses = []
+        details_acc = None
         for _ in range(rows_dev.shape[0]):
             (state.variables, state.opt_state, counter, loss, details) = step(
                 state.variables, state.opt_state, data_state, rows_dev,
@@ -245,9 +239,14 @@ class Trainer:
                 jnp.float32(lr), jnp.float32(beta_kl), jnp.float32(epoch),
             )
             losses.append(loss)
-            _accumulate(agg, details)
+            # accumulate details ON DEVICE: a float() per key per step would
+            # block the dispatch queue on a host round-trip (measured ~10x
+            # epoch slowdown for detail-heavy losses over the tunnel)
+            details_acc = details if details_acc is None else jax.tree.map(
+                jnp.add, details_acc, details)
         total = float(jnp.sum(jnp.stack(losses)))
         n = pipeline.num_examples
+        agg = jax.device_get(details_acc) if details_acc else {}
         return total / n, {k2: float(v) / n for k2, v in agg.items()}
 
     def eval_step(self, past_warmup: bool):
@@ -263,7 +262,7 @@ class Trainer:
                   train: bool = True, epoch: int = 1):
         past_warmup = epoch >= self.cfg.warmup
         step = self.train_step(past_warmup) if train else self.eval_step(past_warmup)
-        total, agg = 0.0, {}
+        losses, details_by_shape = [], {}
         for i, (xs, _) in enumerate(loader):
             xs = mesh_lib.shard_batch(self.mesh, [jnp.asarray(x) for x in xs])
             k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
@@ -276,10 +275,16 @@ class Trainer:
                 loss, details = step(
                     state.variables, xs, k, jnp.float32(beta_kl), jnp.float32(epoch)
                 )
-            total += float(loss)
-            _accumulate(agg, details)
+            losses.append(loss)
+            # device-side accumulation: per-batch float() conversions would
+            # serialize the dispatch queue on host round-trips
+            acc = details_by_shape.get("acc")
+            details_by_shape["acc"] = details if acc is None else jax.tree.map(
+                jnp.add, acc, details)
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        agg = jax.device_get(details_by_shape.get("acc")) or {}
         n = loader.num_examples
-        return total / n, {k: v / n for k, v in agg.items()}
+        return total / n, {k: float(v) / n for k, v in agg.items()}
 
     def make_device_pipeline(self, train_loader):
         """Wrap an ArrayLoader's materialized dataset as a device-resident
