@@ -114,17 +114,24 @@ def measure_tpu(cfg, label, steps: int = 100, warmup: int = 3,
         variables, opt_state, counter, loss, _ = step(
             variables, opt_state, data_state, rows_dev, counter, key, lr,
             one, one)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
     log(f"[{label}] compile+warmup: {time.time() - t0:.1f}s")
 
+    # median of 3 trials; the final device_get forces a host fetch of the
+    # chain-dependent loss, so a relay that acks block_until_ready early
+    # (observed: impossible 0.39ms/step readings) cannot fake the timing
     n_meas = min(steps, n_staged - warmup)
-    t0 = time.time()
-    for _ in range(n_meas):
-        variables, opt_state, counter, loss, _ = step(
-            variables, opt_state, data_state, rows_dev, counter, key, lr,
-            one, one)
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
+    per_step = []
+    for _ in range(3):
+        counter = jnp.int32(warmup)
+        t0 = time.time()
+        for _ in range(n_meas):
+            variables, opt_state, counter, loss, _ = step(
+                variables, opt_state, data_state, rows_dev, counter, key, lr,
+                one, one)
+        float(jax.device_get(loss))
+        per_step.append((time.time() - t0) / n_meas)
+    dt = sorted(per_step)[1] * n_meas
     sps = batch * n_meas / dt
     row = {
         "label": label,
@@ -328,6 +335,9 @@ def main():
     flagship = measure_tpu(flagship_cfg(), "mmvae-dreg-K30")
     rows.append(flagship)
     if run_all:
+        bf16 = flagship_cfg()
+        bf16.extra["compute_dtype"] = "bfloat16"
+        rows.append(measure_tpu(bf16, "mmvae-dreg-K30-bf16"))
         rows.append(measure_tpu(jnf_cfg(), "jnf-postwarmup-maf"))
         rows.append(measure_msf_epoch())
         with open(os.path.join(os.path.dirname(__file__),

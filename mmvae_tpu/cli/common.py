@@ -39,9 +39,15 @@ def reload_model(run_path: str, batch_size: Optional[int] = None):
 
     sig = inspect.signature(DATASETS[bundle.dataset]).parameters
     extra = {k: v for k, v in cfg.extra.items() if k in sig}
-    loaders = get_dataloaders(bundle.dataset,
-                              batch_size=batch_size or cfg.batch_size,
+    bs = batch_size or cfg.batch_size
+    loaders = get_dataloaders(bundle.dataset, batch_size=bs,
                               data_path=cfg.data_path, **extra)
+    # loaders drop ragged tails; clamp the eval batch size to the smallest
+    # split so tiny (smoke) datasets still yield at least one batch each
+    n_min = min(l.num_examples for l in loaders)
+    if 0 < n_min < bs:
+        loaders = get_dataloaders(bundle.dataset, batch_size=n_min,
+                                  data_path=cfg.data_path, **extra)
     train_loader = loaders[0]
     xs, _ = next(iter(train_loader))
     key = jax.random.PRNGKey(cfg.seed)

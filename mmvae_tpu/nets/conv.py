@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..core.precision import cast_operand
+
 _DN = ("NCHW", "OIHW", "NCHW")
 
 
@@ -51,12 +53,15 @@ class Conv2d(nn.Module):
             (self.features, in_ch, k[0], k[1]), jnp.float32,
         )
         p = _pair(self.padding)
+        # mixed precision: contraction runs in the policy dtype (MXU still
+        # accumulates partial sums in f32), result upcast to f32 so biases,
+        # activations and cotangents stay float32
         y = jax.lax.conv_general_dilated(
-            x, kernel,
+            cast_operand(x), cast_operand(kernel),
             window_strides=_pair(self.stride),
             padding=((p[0], p[0]), (p[1], p[1])),
             dimension_numbers=_DN,
-        )
+        ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias[None, :, None, None]
@@ -94,12 +99,12 @@ class ConvTranspose2d(nn.Module):
         pad = tuple((k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(2))
         oihw = jnp.flip(kernel, axis=(-2, -1)).swapaxes(0, 1)
         y = jax.lax.conv_general_dilated(
-            x, oihw,
+            cast_operand(x), cast_operand(oihw),
             window_strides=(1, 1),
             padding=pad,
             lhs_dilation=s,
             dimension_numbers=_DN,
-        )
+        ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias[None, :, None, None]
@@ -139,7 +144,7 @@ class Linear(nn.Module):
             "kernel", _uniform(math.sqrt(3.0) * bound),
             (fan_in, self.features), jnp.float32,
         )
-        y = x @ kernel
+        y = jnp.matmul(cast_operand(x), cast_operand(kernel)).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..core import precision
 from ..core.config import ExperimentConfig
 from ..objectives import objectives as obj_mod
 from ..parallel import mesh as mesh_lib
@@ -49,6 +50,9 @@ class Trainer:
         self.obj_name, self.obj_fn, self.custom_grad = obj_mod.resolve(
             cfg.obj, multimodal, cfg.looser
         )
+        # mixed precision (core/precision.py): params/optimizer stay f32,
+        # conv/matmul operands cast to this dtype inside the jitted steps
+        self.compute_dtype = precision.parse(cfg.extra.get("compute_dtype"))
         self._step_cache: Dict[Any, Callable] = {}
         self._eval_cache: Dict[Any, Callable] = {}
 
@@ -94,7 +98,13 @@ class Trainer:
         custom = self.custom_grad
         statics = self._scalar_kwargs()
 
+        cdtype = self.compute_dtype
+
         def step(variables, opt_state, xs, key, lr, beta_kl, epoch):
+            with precision.use(cdtype):
+                return _step(variables, opt_state, xs, key, lr, beta_kl, epoch)
+
+        def _step(variables, opt_state, xs, key, lr, beta_kl, epoch):
             kwargs = dict(statics, past_warmup=past_warmup, beta_kl=beta_kl,
                           epoch=epoch, train=True)
             if custom:
@@ -125,10 +135,13 @@ class Trainer:
         custom = self.custom_grad
         statics = self._scalar_kwargs()
 
+        cdtype = self.compute_dtype
+
         def step(variables, xs, key, beta_kl, epoch):
             kwargs = dict(statics, past_warmup=past_warmup, beta_kl=beta_kl,
                           epoch=epoch, train=False)
-            out = obj_fn(model, variables, xs, key, spec, **kwargs)
+            with precision.use(cdtype):
+                out = obj_fn(model, variables, xs, key, spec, **kwargs)
             obj, details = out[0], out[1]
             return -obj, details
 
@@ -254,6 +267,54 @@ class Trainer:
             self._eval_cache[past_warmup] = self._build_eval_step(past_warmup)
         return self._eval_cache[past_warmup]
 
+    def device_eval_counter_step(self, past_warmup: bool, pipeline):
+        """Eval analogue of device_counter_step: the val images live on
+        device once (uint8); per epoch only the index table ships, and every
+        dispatch is the identical program on on-device arguments."""
+        key_ = ("device_eval", past_warmup, id(pipeline))
+        if key_ not in self._eval_cache:
+            inner = self._build_eval_step(past_warmup)
+            gather = pipeline.gather_fn()
+
+            def step(variables, data_state, rows_all, counter, key, beta_kl,
+                     epoch):
+                rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
+                                                    keepdims=False)
+                xs = gather(rows, data_state)
+                loss, details = inner(variables, xs,
+                                      jax.random.fold_in(key, counter),
+                                      beta_kl, epoch)
+                return counter + 1, loss, details
+
+            self._eval_cache[key_] = jax.jit(step)
+        return self._eval_cache[key_]
+
+    def run_epoch_device_eval(self, state: TrainerState, pipeline, key,
+                              beta_kl, epoch: int = 1):
+        """Validation epoch over a device-resident pipeline (see
+        run_epoch_device; same async-dispatch rules, no param updates)."""
+        past_warmup = epoch >= self.cfg.warmup
+        step = self.device_eval_counter_step(past_warmup, pipeline)
+        rows_dev = jnp.asarray(np.stack(list(pipeline.epoch_index_batches())))
+        if pipeline.rows_sharding is not None:
+            rows_dev = jax.device_put(rows_dev, pipeline.rows_sharding)
+        counter = jnp.int32(0)
+        data_state = pipeline.data_state
+        losses, details_acc = [], None
+        for _ in range(rows_dev.shape[0]):
+            counter, loss, details = step(
+                state.variables, data_state, rows_dev, counter, key,
+                jnp.float32(beta_kl), jnp.float32(epoch))
+            losses.append(loss)
+            details_acc = details if details_acc is None else jax.tree.map(
+                jnp.add, details_acc, details)
+        # the pipeline drops the ragged tail batch; normalize by what we
+        # actually scored so the loss stays an unbiased per-example mean
+        n = rows_dev.shape[0] * pipeline.batch_size
+        total = float(jnp.sum(jnp.stack(losses)))
+        agg = jax.device_get(details_acc) if details_acc else {}
+        return total / n, {k2: float(v) / n for k2, v in agg.items()}
+
     # ------------------------------------------------------------------
     # epoch loops
     # ------------------------------------------------------------------
@@ -339,6 +400,9 @@ class Trainer:
         warmup = cfg.warmup
         agg_hist = defaultdict(list)
         pipeline = self.make_device_pipeline(train_loader) if use_device_pipeline else None
+        val_pipeline = None
+        if use_device_pipeline and val_loader.num_examples >= val_loader.batch_size:
+            val_pipeline = self.make_device_pipeline(val_loader)
 
         epoch = min_epoch
         while epoch <= cfg.epochs:
@@ -373,10 +437,15 @@ class Trainer:
             else:
                 tr_loss, tr_details = _train_epoch()
             beta_sched.step(epoch)
-            va_loss, va_details = self.run_epoch(
-                state, val_loader, jax.random.fold_in(train_key, 0x7FFFFFFF),
-                plateau.lr, beta_sched.value, train=False, epoch=epoch,
-            )
+            if val_pipeline is not None:
+                va_loss, va_details = self.run_epoch_device_eval(
+                    state, val_pipeline, jax.random.fold_in(train_key, 0x7FFFFFFF),
+                    beta_sched.value, epoch=epoch)
+            else:
+                va_loss, va_details = self.run_epoch(
+                    state, val_loader, jax.random.fold_in(train_key, 0x7FFFFFFF),
+                    plateau.lr, beta_sched.value, train=False, epoch=epoch,
+                )
             agg_hist["train_loss"].append(tr_loss)
             agg_hist["test_loss"].append(va_loss)
             self.log(
