@@ -52,10 +52,19 @@ def reload_model(run_path: str, batch_size: Optional[int] = None):
     xs, _ = next(iter(train_loader))
     key = jax.random.PRNGKey(cfg.seed)
     method = "init_all" if hasattr(bundle.model, "init_all") else None
-    template = bundle.model.init({"params": key, "sample": key},
-                                 [jnp.asarray(x) for x in xs], K=1, method=method)
+    # tiny batch + jit: the checkpoint template only needs the tree
+    # structure, and an eager init dispatches per-op over the tunnel
+    init = jax.jit(lambda k, xs_: bundle.model.init(
+        {"params": k, "sample": k}, xs_, K=1, method=method))
+    template = init(key, [jnp.asarray(x[:2]) for x in xs])
     variables = checkpoints.load_bytes(
         template, os.path.join(run_path, "model.msgpack"))
+    # from_bytes restores NUMPY leaves; as jit arguments those are
+    # re-uploaded on EVERY call (~20GB of page-faulting serialization over
+    # a full-test-set validate through the remote tunnel, BENCH_NOTES).
+    # One device_put here makes every downstream eval program take
+    # device-resident weights.
+    variables = jax.device_put(variables)
     return cfg, bundle, variables, loaders
 
 
@@ -84,9 +93,17 @@ def get_or_train_classifiers(bundle, loaders, experiments_dir: str,
         try:
             variables = C.load_classifier(arch, sample_shape, path)
         except (FileNotFoundError, OSError, KeyError, ValueError):
-            imgs = ds.modalities[m]
-            labs = ds.labels[m]
-            variables = C.train_classifier(arch, imgs, labs,
+            from ..data.loaders import LazyGather
+
+            mod = ds.modalities[m]
+            if isinstance(mod, LazyGather) and mod.base_labels is not None:
+                # train on the deduplicated base rows — the pairing only
+                # duplicates them (dm-fold), so this is the same data 4-30x
+                # cheaper and without materializing the paired gather
+                imgs, labs = mod.base, mod.base_labels
+            else:
+                imgs, labs = mod, ds.labels[m]
+            variables = C.train_classifier(arch, np.asarray(imgs), labs,
                                            jax.random.fold_in(key, m),
                                            epochs=epochs)
             C.save_classifier(variables, path)

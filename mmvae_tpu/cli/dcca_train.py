@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=800)
     parser.add_argument("--data-path", type=str, default="../data")
+    parser.add_argument("--synthetic-n", type=int, default=0,
+                        help="synthetic stand-in scale (0 = dataset default); "
+                        "match the downstream model's synthetic_n")
     parser.add_argument("--out", type=str, default="../experiments/dcca")
     parser.add_argument("--platform", type=str, default="cpu",
                         help="cpu = reference-parity float64 eigh loss; any "
@@ -50,8 +53,10 @@ def main(argv=None):
 
     builders, default_dim = DCCA_BUILDERS[info.dataset]
     outdim = info.outdim or default_dim
+    extra = {"synthetic_n": info.synthetic_n} if info.synthetic_n else {}
     train_l, test_l, val_l = get_dataloaders(
-        info.dataset, batch_size=info.batch_size, data_path=info.data_path)
+        info.dataset, batch_size=info.batch_size, data_path=info.data_path,
+        **extra)
 
     backend = info.backend or ("eigh" if info.platform == "cpu" else "chol")
     solver = Solver(builders(outdim), outdim, backend=backend)

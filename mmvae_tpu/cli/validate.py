@@ -61,11 +61,54 @@ def main(argv=None):
     has_poe = hasattr(bundle.model, "poe_log_density") or \
         hasattr(bundle.model, "poe_subset_params")
 
+    # the device-resident scorer handles the standard protocol (every test
+    # pair, ns per pair); the per-batch loop remains for celeba's bitwise
+    # metrics and explicit --n-data subsets
+    fast_path = bundle.dataset != "celeba" and info.n_data == "all"
+
     all_metrics = []
     for r in range(info.repeats):
         kr = jax.random.fold_in(key, r)
-        # full-test-set loop: accumulate per-batch metric dicts, then mean
-        # within the repeat (validate.py:111-116 + get_mean_std).
+        if fast_path:
+            from ..eval import compute_accuracies_dataset
+
+            metrics = compute_accuracies_dataset(
+                bundle.model, variables, classifiers, test_l, kr,
+                bundle.spec, ns=info.ns)
+            n_mod = len(test_l.dataset.modalities)
+            needs_batch = (n_mod == 3 and has_poe) or \
+                bundle.dataset == "circles_squares"
+            xs0 = labs0 = None
+            if needs_batch:
+                xs0, labs0 = next(iter(test_l))
+                xs0 = [jnp.asarray(x) for x in xs0]
+            if xs0 is not None and len(xs0) == 3 and has_poe:
+                from ..eval.modalities import poe_subset_accuracy
+
+                try:
+                    metrics.update(poe_subset_accuracy(
+                        bundle.model, variables, classifiers, xs0,
+                        [np.asarray(l) for l in labs0], kr, bundle.spec,
+                        n_data=min(32, len(xs0[0])), ns=8, mcmc_steps=20))
+                except Exception as e:
+                    print(f"[poe_subset_accuracy] skipped: {e}")
+            if bundle.dataset == "circles_squares":
+                from ..eval.latent_analysis import conditional_rdist_metrics
+
+                metrics.update(conditional_rdist_metrics(
+                    bundle.model, variables, xs0,
+                    jax.random.fold_in(kr, 41),
+                    run_path=run_path if r == 0 else None,
+                    n=min(100, info.ns * 10), n_data=min(100, len(xs0[0]))))
+            if not info.skip_fid:
+                metrics.update(cross_modal_fid(bundle.model, variables,
+                                               test_l, bundle.spec, kr,
+                                               encoder_fn, n_batches=4))
+            all_metrics.append(metrics)
+            print(f"repeat {r}: {metrics}")
+            continue
+        # per-batch loop: accumulate metric dicts, then mean within the
+        # repeat (validate.py:111-116 + get_mean_std).
         batch_metrics: dict = {}
         for bi, (xs, labs) in enumerate(test_l):
             kb = jax.random.fold_in(kr, bi)

@@ -18,6 +18,63 @@ import numpy as np
 from . import pairing, sources, synthetic
 
 
+class LazyGather:
+    """View of ``base[idx]`` that gathers rows on access.
+
+    The pairing step of the big datasets maps a deduplicated base array
+    (e.g. 20k unique SVHN images) onto O(100k) paired rows. Materializing
+    that gather up front costs GBs of first-touch page faults on this VM
+    (~5 min for MNIST-SVHN at synthetic_n=20000, docs/BENCH_NOTES.md) and
+    forces the device pipeline to hold duplicated rows in HBM. This view
+    keeps (base, idx); batch iteration gathers a few hundred rows at a
+    time into small reused buffers, and the device pipeline ships the base
+    + index table instead (its native form).
+
+    base_labels optionally carries the labels aligned with ``base`` so
+    consumers that want the deduplicated rows (classifier pretraining) can
+    skip the pairing duplication entirely.
+    """
+
+    __slots__ = ("base", "idx", "base_labels")
+
+    def __init__(self, base: np.ndarray, idx: np.ndarray,
+                 base_labels: Optional[np.ndarray] = None):
+        self.base = base
+        self.idx = np.ascontiguousarray(idx)
+        self.base_labels = base_labels
+
+    def __len__(self):
+        return len(self.idx)
+
+    @property
+    def shape(self):
+        return (len(self.idx),) + self.base.shape[1:]
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def ndim(self):
+        return self.base.ndim
+
+    def __getitem__(self, s):
+        """Materializes the selected rows (int, slice, or index array)."""
+        from ..native import fast_gather
+
+        sub = self.idx[s]
+        if np.ndim(sub) == 0:
+            return self.base[sub]
+        return fast_gather(self.base, sub)
+
+    def __array__(self, dtype=None, copy=None):
+        out = self[:]
+        return out if dtype is None else out.astype(dtype, copy=False)
+
+    def lazy_subset(self, s) -> "LazyGather":
+        return LazyGather(self.base, self.idx[s], self.base_labels)
+
+
 @dataclasses.dataclass
 class PairedDataset:
     """Aligned multimodal rows: modalities[m][i] pairs with modalities[m'][i]."""
@@ -31,7 +88,8 @@ class PairedDataset:
 
     def subset(self, idx: np.ndarray) -> "PairedDataset":
         return PairedDataset(
-            [m[idx] for m in self.modalities],
+            [m.lazy_subset(idx) if isinstance(m, LazyGather) else m[idx]
+             for m in self.modalities],
             [l[idx] for l in self.labels],
             {k: v[idx] for k, v in self.extras.items()},
         )
@@ -140,14 +198,14 @@ def _paired_from_sources(mods_train, mods_test, max_d, dm, len_train, batch_size
     if len_train is not None:
         idx_tr = tuple(i[:len_train] for i in idx_tr)
 
-    from ..native import fast_gather
-
     train_full = PairedDataset(
-        [fast_gather(x, i) for (x, _), i in zip(mods_train, idx_tr)],
+        [LazyGather(x, i, base_labels=l)
+         for (x, l), i in zip(mods_train, idx_tr)],
         [l[i] for (_, l), i in zip(mods_train, idx_tr)],
     )
     test = PairedDataset(
-        [fast_gather(x, i) for (x, _), i in zip(mods_test, idx_te)],
+        [LazyGather(x, i, base_labels=l)
+         for (x, l), i in zip(mods_test, idx_te)],
         [l[i] for (_, l), i in zip(mods_test, idx_te)],
     )
     # deterministic val split (dataloaders.py:279-282)
@@ -162,13 +220,17 @@ def mnist_svhn(data_path: str = "../data", batch_size: int = 128, shuffle: bool 
     """MNIST_SVHN_DL (dataloaders.py:239-290). Uses raw files when present,
     synthetic class-structured stand-ins otherwise."""
     m_tr = sources.load_or_synthesize(
-        lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n, 1)
+        lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n,
+        1, proto_seed=1)
     m_te = sources.load_or_synthesize(
-        lambda: sources.load_mnist(data_path, False), (1, 28, 28), synthetic_n // 4, 2)
+        lambda: sources.load_mnist(data_path, False), (1, 28, 28),
+        synthetic_n // 4, 2, proto_seed=1)
     s_tr = sources.load_or_synthesize(
-        lambda: sources.load_svhn(data_path, True), (3, 32, 32), synthetic_n, 3)
+        lambda: sources.load_svhn(data_path, True), (3, 32, 32), synthetic_n,
+        3, proto_seed=3)
     s_te = sources.load_or_synthesize(
-        lambda: sources.load_svhn(data_path, False), (3, 32, 32), synthetic_n // 4, 4)
+        lambda: sources.load_svhn(data_path, False), (3, 32, 32),
+        synthetic_n // 4, 4, proto_seed=3)
     return _paired_from_sources(
         [m_tr[:2], s_tr[:2]], [m_te[:2], s_te[:2]],
         max_d=10000, dm=5, len_train=len_train,
@@ -181,13 +243,17 @@ def mnist_fashion(data_path: str = "../data", batch_size: int = 128, shuffle: bo
     """MNIST_FASHION_DL with the unbalanced correspondence pairing
     (bin/make-mnist-fashion.py:10-11)."""
     m_tr = sources.load_or_synthesize(
-        lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n, 1)
+        lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n,
+        1, proto_seed=1)
     m_te = sources.load_or_synthesize(
-        lambda: sources.load_mnist(data_path, False), (1, 28, 28), synthetic_n // 4, 2)
+        lambda: sources.load_mnist(data_path, False), (1, 28, 28),
+        synthetic_n // 4, 2, proto_seed=1)
     f_tr = sources.load_or_synthesize(
-        lambda: sources.load_mnist(data_path, True, fashion=True), (1, 28, 28), synthetic_n, 5)
+        lambda: sources.load_mnist(data_path, True, fashion=True), (1, 28, 28),
+        synthetic_n, 5, proto_seed=5)
     f_te = sources.load_or_synthesize(
-        lambda: sources.load_mnist(data_path, False, fashion=True), (1, 28, 28), synthetic_n // 4, 6)
+        lambda: sources.load_mnist(data_path, False, fashion=True), (1, 28, 28),
+        synthetic_n // 4, 6, proto_seed=5)
 
     def build(m, f, seed):
         # correspondence covers mnist classes 0-2 only
@@ -216,8 +282,10 @@ def mnist_svhn_fashion(data_path: str = "../data", batch_size: int = 128,
         ((1, 28, 28), lambda: sources.load_mnist(data_path, True, fashion=True),
          lambda: sources.load_mnist(data_path, False, fashion=True), 5),
     ]:
-        mods_tr.append(sources.load_or_synthesize(fn_tr, shape, synthetic_n, seed)[:2])
-        mods_te.append(sources.load_or_synthesize(fn_te, shape, synthetic_n // 4, seed + 1)[:2])
+        mods_tr.append(sources.load_or_synthesize(
+            fn_tr, shape, synthetic_n, seed, proto_seed=seed)[:2])
+        mods_te.append(sources.load_or_synthesize(
+            fn_te, shape, synthetic_n // 4, seed + 1, proto_seed=seed)[:2])
     return _paired_from_sources(mods_tr, mods_te, max_d=10000, dm=5, len_train=None,
                                 batch_size=batch_size, shuffle=shuffle)
 
@@ -230,10 +298,10 @@ def medmnist_pairs(data_path: str = "../data", batch_size: int = 128,
     for split, seed in [("train", 0), ("test", 1), ("val", 2)]:
         p = sources.load_or_synthesize(
             lambda s=split: sources.load_medmnist(data_path, "pneumoniamnist", s),
-            (1, 28, 28), synthetic_n, 10 + seed)
+            (1, 28, 28), synthetic_n, 10 + seed, proto_seed=10)
         b_img, b_lab, real = sources.load_or_synthesize(
             lambda s=split: sources.load_medmnist(data_path, "bloodmnist", s),
-            (3, 28, 28), synthetic_n, 20 + seed)
+            (3, 28, 28), synthetic_n, 20 + seed, proto_seed=20)
         if real:
             keep, new_lab = pairing.remap_medmnist_blood_labels(b_lab)
             b_img, b_lab = b_img[keep], new_lab
@@ -264,7 +332,7 @@ def celeba(data_path: str = "../data", batch_size: int = 128, shuffle: bool = Tr
         except (FileNotFoundError, OSError):
             d = synthetic.synthetic_labeled_images(
                 synthetic_n if split == "train" else synthetic_n // 4,
-                (3, 64, 64), n_classes=2, seed=seed)
+                (3, 64, 64), n_classes=2, seed=seed, proto_seed=30)
             imgs = d["images"]
             attrs = (rng.uniform(size=(len(imgs), 40)) < 0.3).astype(np.float32)
             attrs[:, 20] = d["labels"]  # one informative attribute
@@ -283,10 +351,10 @@ def chest_svhn(data_path: str = "../data", batch_size: int = 128,
     for split, train_flag, seed in [("train", True, 0), ("test", False, 1), ("val", False, 2)]:
         c = sources.load_or_synthesize(
             lambda s=split: sources.load_medmnist(data_path, "pneumoniamnist", s),
-            (1, 28, 28), synthetic_n, 50 + seed)
+            (1, 28, 28), synthetic_n, 50 + seed, proto_seed=50)
         s_img, s_lab, _ = sources.load_or_synthesize(
             lambda t=train_flag: sources.load_svhn(data_path, t),
-            (3, 32, 32), synthetic_n, 60 + seed)
+            (3, 32, 32), synthetic_n, 60 + seed, proto_seed=60)
         s_lab2 = (s_lab > 4).astype(np.int64)  # binarized digit classes
         c_lab = c[1] % 2
         i1, i2 = pairing.rand_match_on_idx([c_lab, s_lab2], max_d=10000, dm=3, seed=seed)
@@ -306,7 +374,7 @@ def mnist_contour(data_path: str = "../data", batch_size: int = 128,
     def build(train, seed):
         img, lab, _ = sources.load_or_synthesize(
             lambda: sources.load_mnist(data_path, train), (1, 28, 28),
-            synthetic_n if train else synthetic_n // 4, seed)
+            synthetic_n if train else synthetic_n // 4, seed, proto_seed=1)
         return PairedDataset([img, canny_contour(img)], [lab, lab])
 
     train_full = build(True, 1)
@@ -327,7 +395,12 @@ def binary_mnist_svhn(data_path: str = "../data", batch_size: int = 128,
     train, test, val = mnist_svhn(data_path, batch_size, shuffle, len_train,
                                   synthetic_n)
     for loader in (train, test, val):
-        loader.dataset.modalities[0] = binarize(loader.dataset.modalities[0])
+        m = loader.dataset.modalities[0]
+        if isinstance(m, LazyGather):
+            loader.dataset.modalities[0] = LazyGather(
+                binarize(m.base), m.idx, m.base_labels)
+        else:
+            loader.dataset.modalities[0] = binarize(m)
     return train, test, val
 
 
@@ -339,13 +412,16 @@ def mnist_oasis(data_path: str = "../data", batch_size: int = 128,
     data is access-restricted; synthetic stand-ins keep the pipeline
     runnable."""
     rng = np.random.default_rng(9)
+    # one OASIS prototype pair shared by all splits (drawing it inside
+    # build() gave train and test DIFFERENT class prototypes — a distinct
+    # test distribution that sends every coherence metric to chance)
+    proto = rng.normal(size=(2, oasis_dim)).astype(np.float32)
 
     def build(train, seed):
         img, lab, _ = sources.load_or_synthesize(
             lambda: sources.load_mnist(data_path, train), (1, 28, 28),
-            synthetic_n if train else synthetic_n // 4, seed)
+            synthetic_n if train else synthetic_n // 4, seed, proto_seed=1)
         lab2 = (lab % 2).astype(np.int64)
-        proto = rng.normal(size=(2, oasis_dim)).astype(np.float32)
         oasis = 1 / (1 + np.exp(-(proto[lab2] + 0.3 * rng.normal(
             size=(len(lab2), oasis_dim)).astype(np.float32))))
         return PairedDataset([img, oasis], [lab2, lab2])

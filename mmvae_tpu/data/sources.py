@@ -78,10 +78,17 @@ def load_medmnist(data_path: str, flag: str, split: str):
     return x.astype(np.float32) / 255.0, y
 
 
-def load_or_synthesize(loader_fn, fallback_shape, n_fallback: int, seed: int):
-    """Try a raw loader; on FileNotFoundError return synthetic stand-ins."""
+def load_or_synthesize(loader_fn, fallback_shape, n_fallback: int, seed: int,
+                       proto_seed: int = None):
+    """Try a raw loader; on FileNotFoundError return synthetic stand-ins.
+
+    proto_seed (see synthetic_labeled_images): one value per synthetic
+    MODALITY, shared by its train/test/val splits, so the splits draw
+    from one class-prototype set while the per-sample noise still varies
+    with `seed`."""
     try:
         return loader_fn() + (True,)
     except (FileNotFoundError, OSError):
-        d = synthetic_labeled_images(n_fallback, fallback_shape, seed=seed)
+        d = synthetic_labeled_images(n_fallback, fallback_shape, seed=seed,
+                                     proto_seed=proto_seed)
         return d["images"], d["labels"], False

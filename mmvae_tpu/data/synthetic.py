@@ -89,16 +89,29 @@ def make_circles_squares(
 
 
 def synthetic_labeled_images(
-    n: int, shape, n_classes: int = 10, seed: int = 0
+    n: int, shape, n_classes: int = 10, seed: int = 0,
+    proto_seed: int = None
 ) -> Dict[str, np.ndarray]:
     """Class-structured random images: each class has a smooth random
     prototype; samples are noisy prototypes squashed to [0,1]. Lets
-    coherence-style metrics behave sensibly without real data."""
+    coherence-style metrics behave sensibly without real data.
+
+    proto_seed pins the class prototypes independently of the sample
+    noise/labels: all splits (train/test/val) of one synthetic modality
+    MUST share a proto_seed, else the test split is a different
+    distribution than the model ever trained on (like swapping the digit
+    shapes between MNIST train and test) and every coherence metric
+    collapses to chance. Defaults to `seed` for standalone use."""
     rng = np.random.default_rng(seed)
-    protos = rng.normal(0, 1, size=(n_classes,) + tuple(shape)).astype(np.float32)
+    proto_rng = np.random.default_rng(seed if proto_seed is None else proto_seed)
+    protos = proto_rng.normal(0, 1, size=(n_classes,) + tuple(shape)).astype(np.float32)
     labels = rng.integers(0, n_classes, size=n)
-    imgs = protos[labels] + 0.5 * rng.normal(0, 1, size=(n,) + tuple(shape)).astype(
-        np.float32
-    )
-    imgs = 1.0 / (1.0 + np.exp(-imgs))
-    return {"images": imgs.astype(np.float32), "labels": labels.astype(np.int64)}
+    # noise + sigmoid in float32 throughout: the float64 draw + exp cost
+    # ~2 min at n=20k SVHN-sized images on this host
+    imgs = protos[labels]
+    imgs += 0.5 * rng.standard_normal(size=(n,) + tuple(shape), dtype=np.float32)
+    np.negative(imgs, out=imgs)
+    np.exp(imgs, out=imgs)
+    imgs += 1.0
+    np.reciprocal(imgs, out=imgs)
+    return {"images": imgs, "labels": labels.astype(np.int64)}

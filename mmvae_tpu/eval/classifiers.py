@@ -116,8 +116,9 @@ def train_classifier(arch: nn.Module, images: np.ndarray, labels: np.ndarray,
                      key, epochs: int = 3, batch_size: int = 256,
                      lr: float = 1e-3, binary_attrs: bool = False):
     """Generic classifier fit (replaces the __main__ training blocks)."""
-    variables = arch.init({"params": key, "dropout": key},
-                          jnp.zeros((2,) + images.shape[1:]), train=True)
+    variables = jax.jit(lambda k: arch.init(
+        {"params": k, "dropout": k},
+        jnp.zeros((2,) + images.shape[1:]), train=True))(key)
     tx = optax.adam(lr)
     opt_state = tx.init(variables["params"])
 
@@ -130,8 +131,18 @@ def train_classifier(arch: nn.Module, images: np.ndarray, labels: np.ndarray,
                 optax.softmax_cross_entropy_with_integer_labels(logits, y)
             )
 
+    n = len(images)
+    batch_size = min(batch_size, n)
+
     @jax.jit
-    def step(variables, opt_state, xb, yb, k):
+    def step(variables, opt_state, data, labs, offset, k):
+        # batch = device-side dynamic slice of the resident dataset; the
+        # per-batch images[idx] + jnp.asarray upload pattern serializes a
+        # synchronous host->device transfer into every step (~8x slower
+        # through the dispatch tunnel, docs/BENCH_NOTES.md)
+        xb = jax.lax.dynamic_slice_in_dim(data, offset, batch_size)
+        yb = jax.lax.dynamic_slice_in_dim(labs, offset, batch_size)
+
         def lf(p):
             v = {**variables, "params": p}
             logits, st = arch.apply(v, xb, train=True, rngs={"dropout": k},
@@ -143,16 +154,20 @@ def train_classifier(arch: nn.Module, images: np.ndarray, labels: np.ndarray,
         params = optax.apply_updates(variables["params"], updates)
         return {**variables, "params": params, **st}, opt_state, loss
 
-    n = len(images)
     rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    data = jnp.asarray(images[perm])  # one-time upload, shuffled once
+    labs = jnp.asarray(labels[perm])
     steps_per_epoch = max(1, n // batch_size)
+    max_off = n - batch_size
     for e in range(epochs):
-        perm = rng.permutation(n)
+        # stride the epoch start so batch boundaries differ across epochs
+        base = (e * (batch_size // 2)) % (max_off + 1) if max_off else 0
         for s in range(steps_per_epoch):
-            idx = perm[s * batch_size: (s + 1) * batch_size]
+            offset = jnp.int32((base + s * batch_size) % (max_off + 1) if max_off else 0)
             variables, opt_state, loss = step(
-                variables, opt_state, jnp.asarray(images[idx]),
-                jnp.asarray(labels[idx]), jax.random.fold_in(key, e * 10000 + s),
+                variables, opt_state, data, labs, offset,
+                jax.random.fold_in(key, e * 10000 + s),
             )
     return variables
 
@@ -168,7 +183,12 @@ def make_apply(arch: nn.Module, variables) -> Callable:
     def apply(v, x):
         return arch.apply(v, x, train=False)
 
-    return lambda x: apply(variables, x)
+    fn = lambda x: apply(variables, x)  # noqa: E731
+    # expose the pieces so fused eval programs (eval/coherence.py) can pass
+    # the weights as jit ARGUMENTS instead of baked HLO constants
+    fn.arch = arch
+    fn.variables = variables
+    return fn
 
 
 def save_classifier(variables, path: str):
@@ -178,6 +198,10 @@ def save_classifier(variables, path: str):
 
 def load_classifier(arch: nn.Module, sample_shape, path: str):
     key = jax.random.PRNGKey(0)
-    template = arch.init({"params": key, "dropout": key},
-                         jnp.zeros((1,) + tuple(sample_shape)), train=False)
-    return load_bytes(template, path)
+    template = jax.jit(lambda k: arch.init(
+        {"params": k, "dropout": k},
+        jnp.zeros((1,) + tuple(sample_shape)), train=False))(key)
+    # device-resident weights: from_bytes restores numpy leaves, which jit
+    # re-uploads per call (the SVHN classifier alone is 277MB — reshipping
+    # it every eval batch dominated full-test-set validation)
+    return jax.device_put(load_bytes(template, path))

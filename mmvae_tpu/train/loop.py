@@ -62,10 +62,11 @@ class Trainer:
 
     def init_variables(self, sample_xs, key) -> Dict[str, Any]:
         method = "init_all" if hasattr(self.model, "init_all") else None
-        variables = self.model.init(
-            {"params": key, "sample": key}, [jnp.asarray(x) for x in sample_xs],
-            K=1, method=method,
-        )
+        # jitted: an eager flax init dispatches every op individually over
+        # the remote tunnel — minutes for the big models (BENCH_NOTES)
+        init = jax.jit(lambda k, xs: self.model.init(
+            {"params": k, "sample": k}, xs, K=1, method=method))
+        variables = init(key, [jnp.asarray(x) for x in sample_xs])
         return mesh_lib.replicate(self.mesh, variables)
 
     def _make_tx(self, params, past_warmup: bool, amsgrad: bool):
@@ -348,20 +349,31 @@ class Trainer:
         return total / n, {k: float(v) / n for k, v in agg.items()}
 
     def make_device_pipeline(self, train_loader):
-        """Wrap an ArrayLoader's materialized dataset as a device-resident
-        pipeline (identity pairing tables — the pairing gather already ran
-        at construction)."""
+        """Wrap an ArrayLoader's dataset as a device-resident pipeline.
+
+        LazyGather modalities (data/loaders.py) ship their deduplicated
+        base array + the real pairing table — the pipeline's native form:
+        HBM holds each unique image once and the pairing gather happens
+        on-device. Materialized modalities fall back to identity tables."""
         from ..data.device_pipeline import DeviceDataPipeline
+        from ..data.loaders import LazyGather
 
         ds = train_loader.dataset
         n = len(ds)
-        idx = [np.arange(n, dtype=np.int32)] * len(ds.modalities)
+        arrays, idx = [], []
+        for m in ds.modalities:
+            if isinstance(m, LazyGather):
+                arrays.append(m.base)
+                idx.append(m.idx.astype(np.int32))
+            else:
+                arrays.append(m)
+                idx.append(np.arange(n, dtype=np.int32))
         mesh = self.mesh if self.mesh.shape.get("data", 1) > 1 else None
         if mesh is not None:
             assert train_loader.batch_size % mesh.shape["data"] == 0, (
                 "batch_size must divide the mesh 'data' axis for the "
                 "device-pipeline path")
-        return DeviceDataPipeline(ds.modalities, idx, train_loader.batch_size,
+        return DeviceDataPipeline(arrays, idx, train_loader.batch_size,
                                   shuffle=train_loader.shuffle, mesh=mesh)
 
     def fit(self, train_loader, val_loader, key=None,

@@ -103,3 +103,34 @@ def test_transforms():
     assert set(np.unique(b)) <= {0.0, 1.0}
     c = canny_contour(img)
     assert c.shape == img.shape and set(np.unique(c)) <= {0.0, 1.0}
+
+
+def test_synthetic_splits_share_class_prototypes():
+    """Train and test splits of a synthetic modality must draw from the SAME
+    class prototypes (proto_seed) — otherwise the test set is a different
+    distribution than the model trained on and coherence metrics collapse to
+    chance (caught live: flagship validate scored acc ~= 0.1)."""
+    # celeba modality 1 is the 40-attr vector — i.i.d. Bernoulli noise with
+    # one informative bit, identical across splits by construction, so the
+    # prototype-distance check only applies to its image modality
+    for name, mods in [("mnist_svhn", (0, 1)), ("mnist_oasis", (0, 1)),
+                       ("celeba", (0,))]:
+        train, test, _ = get_dataloaders(name, batch_size=16, synthetic_n=256)
+        for m in mods:
+            tr_im = np.asarray(train.dataset.modalities[m], np.float32)
+            te_im = np.asarray(test.dataset.modalities[m], np.float32)
+            tr_lab = np.asarray(train.dataset.labels[m])
+            te_lab = np.asarray(test.dataset.labels[m])
+            classes = [c for c in np.unique(tr_lab)[:3] if (te_lab == c).any()]
+            assert classes
+            for c in classes:
+                mu_tr = tr_im[tr_lab == c].mean(0).ravel()
+                mu_te = te_im[te_lab == c].mean(0).ravel()
+                d_same = np.linalg.norm(mu_tr - mu_te)
+                d_diff = min(
+                    np.linalg.norm(tr_im[tr_lab == o].mean(0).ravel() - mu_te)
+                    for o in classes if o != c
+                ) if len(classes) > 1 else np.inf
+                assert d_same < 0.5 * d_diff, (
+                    f"{name} modality {m} class {c}: train/test prototype "
+                    f"distance {d_same:.3f} vs cross-class {d_diff:.3f}")
