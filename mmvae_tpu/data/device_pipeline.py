@@ -135,3 +135,27 @@ def from_paired_sources(mods: Sequence, idx: Sequence[np.ndarray],
                         batch_size: int, **kw) -> DeviceDataPipeline:
     """Build from (array, labels) tuples + pairing index arrays."""
     return DeviceDataPipeline([m[0] for m in mods], list(idx), batch_size, **kw)
+
+
+def from_array_loader(loader, shuffle=None, mesh=None) -> DeviceDataPipeline:
+    """Wrap an ArrayLoader's dataset as a device-resident pipeline.
+
+    LazyGather modalities (data/loaders.py) ship their deduplicated base
+    array + the real pairing table — the pipeline's native form: HBM holds
+    each unique image once and the pairing gather happens on-device.
+    Materialized modalities fall back to identity tables."""
+    from .loaders import LazyGather
+
+    ds = loader.dataset
+    n = len(ds)
+    arrays, idx = [], []
+    for m in ds.modalities:
+        if isinstance(m, LazyGather):
+            arrays.append(m.base)
+            idx.append(m.idx.astype(np.int32))
+        else:
+            arrays.append(np.asarray(m))
+            idx.append(np.arange(n, dtype=np.int32))
+    return DeviceDataPipeline(
+        arrays, idx, loader.batch_size,
+        shuffle=loader.shuffle if shuffle is None else shuffle, mesh=mesh)

@@ -43,8 +43,9 @@ class Solver:
         )
 
     def init(self, sample_xs, key):
-        variables = self.model.init({"params": key},
-                                    [jnp.asarray(x) for x in sample_xs])
+        # jitted: an eager flax init dispatches per-op over the remote tunnel
+        init = jax.jit(lambda k, xs: self.model.init({"params": k}, xs))
+        variables = init(key, [jnp.asarray(x[:2]) for x in sample_xs])
         return variables, self.tx.init(variables["params"])
 
     def _loss(self, outs):
@@ -73,30 +74,72 @@ class Solver:
     def fit(self, train_loader, val_loader=None, epochs: int = 20,
             key=None, log=print, early_stop: int = 10):
         """Solver.fit (main_mnist_svhn.py:42-106): epoch loop + early stop on
-        val loss, then linear CCA on full-train deep features."""
+        val loss, then linear CCA on full-train deep features.
+
+        Device-resident like the main train loop: the dataset stages on
+        device ONCE (deduplicated base arrays + pairing tables,
+        device_pipeline.from_array_loader), every step is the identical
+        compiled program on a counter-indexed slice of the epoch's
+        pre-staged index batches, and losses accumulate on device with one
+        sync per epoch — per-batch `jnp.asarray` uploads and per-step
+        `float(loss)` syncs each serialize the dispatch queue through the
+        remote tunnel (docs/BENCH_NOTES.md)."""
+        from ..data.device_pipeline import from_array_loader
+
         key = key if key is not None else jax.random.PRNGKey(0)
         sample_xs, _ = next(iter(train_loader))
         variables, opt_state = self.init(sample_xs, key)
-        step = self.make_step()
+        pipeline = from_array_loader(train_loader)
+        gather = pipeline.gather_fn()
+        model, tx, _loss = self.model, self.tx, self._loss
 
         @jax.jit
-        def infer(variables, xs):
-            return self.model.apply(variables, xs)
+        def cstep(variables, opt_state, data_state, rows_all, counter):
+            rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
+                                                keepdims=False)
+            xs = gather(rows, data_state)
+
+            def lf(p):
+                return _loss(model.apply({**variables, "params": p}, xs))
+
+            loss, grads = jax.value_and_grad(lf)(variables["params"])
+            updates, opt_state = tx.update(grads, opt_state,
+                                           variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            return ({**variables, "params": params}, opt_state, counter + 1,
+                    loss)
+
+        val_pipe = None
+        if val_loader is not None:
+            val_pipe = from_array_loader(val_loader, shuffle=False)
+            vgather = val_pipe.gather_fn()
+
+            @jax.jit
+            def vstep(variables, data_state, rows_all, counter):
+                rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
+                                                    keepdims=False)
+                return _loss(model.apply(variables, vgather(rows, data_state)))
+
+            val_rows = jnp.asarray(
+                np.stack(list(val_pipe.epoch_index_batches())))
 
         best_val, bad, best_vars = np.inf, 0, variables
         for epoch in range(epochs):
-            losses = []
-            for xs, _ in train_loader:
-                variables, opt_state, loss = step(
-                    variables, opt_state, [jnp.asarray(x) for x in xs])
-                losses.append(float(loss))
-            msg = f"DCCA epoch {epoch + 1}/{epochs} train {np.mean(losses):.4f}"
-            if val_loader is not None:
-                vl = []
-                for xs, _ in val_loader:
-                    outs = infer(variables, [jnp.asarray(x) for x in xs])
-                    vl.append(float(self._loss(outs)))
-                val_loss = float(np.mean(vl))
+            rows_dev = jnp.asarray(
+                np.stack(list(pipeline.epoch_index_batches())))
+            counter, losses = jnp.int32(0), []
+            for _ in range(rows_dev.shape[0]):
+                variables, opt_state, counter, loss = cstep(
+                    variables, opt_state, pipeline.data_state, rows_dev,
+                    counter)
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+            msg = f"DCCA epoch {epoch + 1}/{epochs} train {train_loss:.4f}"
+            if val_pipe is not None:
+                vl = [vstep(variables, val_pipe.data_state, val_rows,
+                            jnp.int32(i))
+                      for i in range(val_rows.shape[0])]
+                val_loss = float(jnp.mean(jnp.stack(vl)))
                 msg += f" val {val_loss:.4f}"
                 if val_loss < best_val:
                     best_val, bad, best_vars = val_loss, 0, variables
@@ -107,15 +150,26 @@ class Solver:
                 break
         self.variables = best_vars if val_loader is not None else variables
 
-        # linear CCA on full-train deep features (main_mnist_svhn.py:98-100)
-        feats: List[List[np.ndarray]] = None
-        for xs, _ in train_loader:
-            outs = infer(self.variables, [jnp.asarray(x) for x in xs])
-            if feats is None:
-                feats = [[] for _ in outs]
-            for i, o in enumerate(outs):
-                feats[i].append(np.asarray(o))
-        feats = [np.concatenate(f) for f in feats]
+        # linear CCA on full-train deep features (main_mnist_svhn.py:98-100);
+        # sequential (unshuffled) rows padded to a full final batch, features
+        # trimmed back to n — one host sync for the whole pass
+        n = pipeline.num_examples
+        b = pipeline.batch_size
+        order = np.arange(-(-n // b) * b, dtype=np.int32) % n
+        feat_rows = jnp.asarray(order.reshape(-1, b))
+
+        @jax.jit
+        def fstep(variables, data_state, rows_all, counter):
+            rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
+                                                keepdims=False)
+            return model.apply(variables, gather(rows, data_state))
+
+        chunks = [fstep(self.variables, pipeline.data_state, feat_rows,
+                        jnp.int32(i))
+                  for i in range(feat_rows.shape[0])]
+        chunks = jax.device_get(chunks)
+        feats = [np.concatenate([c[v] for c in chunks])[:n]
+                 for v in range(len(chunks[0]))]
         self.lcca = LinearCCA()
         self.lcca.fit(feats[0], feats[1], self.outdim)
         return self

@@ -24,6 +24,13 @@ from ..core import distributions as D
 from ..core.constants import LOG2PI
 from ..core.distributions import LocScale
 from ..models.poe import poe
+from .generation import _cached_jit
+
+# Every public estimator is ONE cached jitted program (weights as
+# arguments): a bare vmap executes its primitives eagerly, and each eager
+# op is a dispatch round-trip through the remote tunnel
+# (docs/BENCH_NOTES.md) — the reference's own hot spot (SURVEY §3.4)
+# re-created at the dispatch layer instead of the datapoint loop.
 
 
 def _chunked_is(log_w_fn, key, K: int, bk: int):
@@ -49,18 +56,29 @@ def compute_conditional_likelihood(model, variables, data, cond_mod: int,
     """ln p(x_gen | x_cond) ~ logmeanexp_z~q(z|x_cond) ln p(x_gen|z)
     (multi_vaes.py:271-318). Returns (mean_ll, per-datapoint lls)."""
 
-    def one_point(x_cond_i, x_gen_i, key_i):
-        def log_w(k):
-            z = model.apply(variables, cond_mod, jnp.repeat(x_cond_i[None], batch_size_K, 0),
-                            method="infer_latent_from_mod", rngs={"sample": k})
-            recon = model.apply(variables, z, method="decode_all")[gen_mod]
-            return recon_log_prob_flat(spec.recon_dists[gen_mod], recon, x_gen_i[None])
+    def build():
+        @jax.jit
+        def run(variables, x_cond, x_gen, key):
+            def one_point(x_cond_i, x_gen_i, key_i):
+                def log_w(k):
+                    z = model.apply(
+                        variables, cond_mod,
+                        jnp.repeat(x_cond_i[None], batch_size_K, 0),
+                        method="infer_latent_from_mod", rngs={"sample": k})
+                    recon = model.apply(variables, z,
+                                        method="decode_all")[gen_mod]
+                    return recon_log_prob_flat(
+                        spec.recon_dists[gen_mod], recon, x_gen_i[None])
 
-        return _chunked_is(log_w, key_i, K, batch_size_K)
+                return _chunked_is(log_w, key_i, K, batch_size_K)
 
-    n = data[0].shape[0]
-    keys = jax.random.split(key, n)
-    lls = jax.vmap(one_point)(data[cond_mod], data[gen_mod], keys)
+            keys = jax.random.split(key, x_cond.shape[0])
+            return jax.vmap(one_point)(x_cond, x_gen, keys)
+        return run
+
+    fn = _cached_jit("cond_ll", model, (cond_mod, gen_mod, K, batch_size_K),
+                     build)
+    lls = fn(variables, data[cond_mod], data[gen_mod], key)
     return {f"cond_likelihood_{cond_mod}_{gen_mod}": float(jnp.mean(lls))}, lls
 
 
@@ -92,18 +110,27 @@ def compute_uni_ll_from_prior(model, variables, data, mod: int, spec, key,
                               K: int = 1000, batch_size_K: int = 100):
     """ln p(x) ~ ln E_{p(z)} p(x|z) (multi_vaes.py:219-250)."""
 
-    def one_point(x_i, key_i):
-        def log_w(k):
-            pz = LocScale(jnp.zeros((batch_size_K, spec.latent_dim)),
-                          jnp.ones((batch_size_K, spec.latent_dim)))
-            z = D.sample(spec.posterior, pz, k)
-            recon = model.apply(variables, z, method="decode_all")[mod]
-            return recon_log_prob_flat(spec.recon_dists[mod], recon, x_i[None])
+    def build():
+        @jax.jit
+        def run(variables, x, key):
+            def one_point(x_i, key_i):
+                def log_w(k):
+                    pz = LocScale(jnp.zeros((batch_size_K, spec.latent_dim)),
+                                  jnp.ones((batch_size_K, spec.latent_dim)))
+                    z = D.sample(spec.posterior, pz, k)
+                    recon = model.apply(variables, z,
+                                        method="decode_all")[mod]
+                    return recon_log_prob_flat(spec.recon_dists[mod], recon,
+                                               x_i[None])
 
-        return _chunked_is(log_w, key_i, K, batch_size_K)
+                return _chunked_is(log_w, key_i, K, batch_size_K)
 
-    keys = jax.random.split(key, data[0].shape[0])
-    lls = jax.vmap(one_point)(data[mod], keys)
+            keys = jax.random.split(key, x.shape[0])
+            return jax.vmap(one_point)(x, keys)
+        return run
+
+    fn = _cached_jit("uni_prior_ll", model, (mod, K, batch_size_K), build)
+    lls = fn(variables, data[mod], key)
     return {f"uni_from_prior_{mod}": float(jnp.mean(lls))}
 
 
@@ -114,29 +141,39 @@ def compute_uni_ll_from_prior(model, variables, data, mod: int, spec, key,
 def joint_likelihood_jmvae_nf(model, variables, data, spec, key,
                               K: int = 1000, batch_size_K: int = 100):
     """IS with the joint posterior as proposal (jmvae_nf.py:209-270)."""
-    mu, std = model.apply(variables, data, method="encode_joint")
 
-    def one_point(xs_i, mu_i, std_i, key_i):
-        def log_w(k):
-            q = LocScale(jnp.broadcast_to(mu_i, (batch_size_K,) + mu_i.shape),
-                         jnp.broadcast_to(std_i, (batch_size_K,) + std_i.shape))
-            z = D.sample(spec.posterior, q, k)
-            recons = model.apply(variables, z, method="decode_all")
-            lpx = sum(
-                recon_log_prob_flat(spec.recon_dists[m], recons[m], xs_i[m][None])
-                for m in range(len(recons))
-            )
-            lpz = jnp.sum(D.log_prob(
-                spec.posterior,
-                LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z), axis=-1)
-            lqz = jnp.sum(D.log_prob(spec.posterior, q, z), axis=-1)
-            return lpx + lpz - lqz
+    def build():
+        @jax.jit
+        def run(variables, data, key):
+            mu, std = model.apply(variables, data, method="encode_joint")
 
-        return _chunked_is(log_w, key_i, K, batch_size_K)
+            def one_point(xs_i, mu_i, std_i, key_i):
+                def log_w(k):
+                    q = LocScale(
+                        jnp.broadcast_to(mu_i, (batch_size_K,) + mu_i.shape),
+                        jnp.broadcast_to(std_i, (batch_size_K,) + std_i.shape))
+                    z = D.sample(spec.posterior, q, k)
+                    recons = model.apply(variables, z, method="decode_all")
+                    lpx = sum(
+                        recon_log_prob_flat(spec.recon_dists[m], recons[m],
+                                            xs_i[m][None])
+                        for m in range(len(recons))
+                    )
+                    lpz = jnp.sum(D.log_prob(
+                        spec.posterior,
+                        LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
+                        axis=-1)
+                    lqz = jnp.sum(D.log_prob(spec.posterior, q, z), axis=-1)
+                    return lpx + lpz - lqz
 
-    n = data[0].shape[0]
-    keys = jax.random.split(key, n)
-    lls = jax.vmap(one_point)(tuple(data), mu, std, keys)
+                return _chunked_is(log_w, key_i, K, batch_size_K)
+
+            keys = jax.random.split(key, data[0].shape[0])
+            return jax.vmap(one_point)(tuple(data), mu, std, keys)
+        return run
+
+    fn = _cached_jit("joint_ll_jnf", model, (K, batch_size_K), build)
+    lls = fn(variables, list(data), key)
     return {"likelihood": float(jnp.mean(lls))}
 
 
@@ -145,68 +182,92 @@ def joint_likelihood_mmvae(model, variables, data, spec, key,
     """Bernoulli-mixture proposal between the unimodal posteriors
     (mmvae.py:121-177) — including the reference's lqz_xy =
     logsumexp(lqz_xs)/2 convention (mmvae.py:166)."""
-    qz_params = model.apply(variables, data, method="encode_all")
 
-    def one_point(mu0, std0, mu1, std1, xs_i, key_i):
-        def log_w(k):
-            kb, k0, k1 = jax.random.split(k, 3)
-            bern = jax.random.bernoulli(kb, 0.5, (batch_size_K, 1)).astype(mu0.dtype)
-            q0 = LocScale(jnp.broadcast_to(mu0, (batch_size_K,) + mu0.shape),
-                          jnp.broadcast_to(std0, (batch_size_K,) + std0.shape))
-            q1 = LocScale(jnp.broadcast_to(mu1, (batch_size_K,) + mu1.shape),
-                          jnp.broadcast_to(std1, (batch_size_K,) + std1.shape))
-            z = bern * D.sample(spec.posterior, q0, k0) + \
-                (1 - bern) * D.sample(spec.posterior, q1, k1)
-            recons = model.apply(variables, z, method="decode_all")
-            lpx = sum(
-                recon_log_prob_flat(spec.recon_dists[m], recons[m], xs_i[m][None])
-                for m in range(len(recons))
-            )
-            lpz = jnp.sum(D.log_prob(
-                spec.posterior, LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
-                axis=-1)
-            lqz = jnp.stack([
-                jnp.sum(D.log_prob(spec.posterior, q0, z), axis=-1),
-                jnp.sum(D.log_prob(spec.posterior, q1, z), axis=-1),
-            ])
-            lqz_xy = jax.scipy.special.logsumexp(lqz, axis=0) / 2  # mmvae.py:166
-            return lpx + lpz - lqz_xy
+    def build():
+        @jax.jit
+        def run(variables, data, key):
+            qz_params = model.apply(variables, data, method="encode_all")
 
-        return _chunked_is(log_w, key_i, K, batch_size_K)
+            def one_point(mu0, std0, mu1, std1, xs_i, key_i):
+                def log_w(k):
+                    kb, k0, k1 = jax.random.split(k, 3)
+                    bern = jax.random.bernoulli(
+                        kb, 0.5, (batch_size_K, 1)).astype(mu0.dtype)
+                    q0 = LocScale(
+                        jnp.broadcast_to(mu0, (batch_size_K,) + mu0.shape),
+                        jnp.broadcast_to(std0, (batch_size_K,) + std0.shape))
+                    q1 = LocScale(
+                        jnp.broadcast_to(mu1, (batch_size_K,) + mu1.shape),
+                        jnp.broadcast_to(std1, (batch_size_K,) + std1.shape))
+                    z = bern * D.sample(spec.posterior, q0, k0) + \
+                        (1 - bern) * D.sample(spec.posterior, q1, k1)
+                    recons = model.apply(variables, z, method="decode_all")
+                    lpx = sum(
+                        recon_log_prob_flat(spec.recon_dists[m], recons[m],
+                                            xs_i[m][None])
+                        for m in range(len(recons))
+                    )
+                    lpz = jnp.sum(D.log_prob(
+                        spec.posterior,
+                        LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
+                        axis=-1)
+                    lqz = jnp.stack([
+                        jnp.sum(D.log_prob(spec.posterior, q0, z), axis=-1),
+                        jnp.sum(D.log_prob(spec.posterior, q1, z), axis=-1),
+                    ])
+                    # mmvae.py:166
+                    lqz_xy = jax.scipy.special.logsumexp(lqz, axis=0) / 2
+                    return lpx + lpz - lqz_xy
 
-    (mu0, std0), (mu1, std1) = qz_params[0], qz_params[1]
-    n = data[0].shape[0]
-    keys = jax.random.split(key, n)
-    lls = jax.vmap(one_point)(mu0, std0, mu1, std1, tuple(data), keys)
+                return _chunked_is(log_w, key_i, K, batch_size_K)
+
+            (mu0, std0), (mu1, std1) = qz_params[0], qz_params[1]
+            keys = jax.random.split(key, data[0].shape[0])
+            return jax.vmap(one_point)(mu0, std0, mu1, std1, tuple(data),
+                                       keys)
+        return run
+
+    fn = _cached_jit("joint_ll_mmvae", model, (K, batch_size_K), build)
+    lls = fn(variables, list(data), key)
     return {"likelihood": float(jnp.mean(lls))}
 
 
 def joint_likelihood_mvae(model, variables, data, spec, key,
                           K: int = 1000, batch_size_K: int = 100):
     """IS with the PoE joint posterior as proposal (mvae.py:219-264)."""
-    out = model.apply(variables, data, rngs={"sample": key})
-    joint_mu, joint_std = out["joint_mu"], out["joint_std"]
 
-    def one_point(mu_i, std_i, xs_i, key_i):
-        def log_w(k):
-            q = LocScale(jnp.broadcast_to(mu_i, (batch_size_K,) + mu_i.shape),
-                         jnp.broadcast_to(std_i, (batch_size_K,) + std_i.shape))
-            z = D.normal_sample(q, k)
-            recons = model.apply(variables, z, method="decode_all")
-            lpx = sum(
-                recon_log_prob_flat(spec.recon_dists[m], recons[m], xs_i[m][None])
-                for m in range(len(recons))
-            )
-            lpz = jnp.sum(D.normal_log_prob(
-                LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z), axis=-1)
-            lqz = jnp.sum(D.normal_log_prob(q, z), axis=-1)
-            return lpx + lpz - lqz
+    def build():
+        @jax.jit
+        def run(variables, data, key):
+            out = model.apply(variables, data, rngs={"sample": key})
+            joint_mu, joint_std = out["joint_mu"], out["joint_std"]
 
-        return _chunked_is(log_w, key_i, K, batch_size_K)
+            def one_point(mu_i, std_i, xs_i, key_i):
+                def log_w(k):
+                    q = LocScale(
+                        jnp.broadcast_to(mu_i, (batch_size_K,) + mu_i.shape),
+                        jnp.broadcast_to(std_i, (batch_size_K,) + std_i.shape))
+                    z = D.normal_sample(q, k)
+                    recons = model.apply(variables, z, method="decode_all")
+                    lpx = sum(
+                        recon_log_prob_flat(spec.recon_dists[m], recons[m],
+                                            xs_i[m][None])
+                        for m in range(len(recons))
+                    )
+                    lpz = jnp.sum(D.normal_log_prob(
+                        LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
+                        axis=-1)
+                    lqz = jnp.sum(D.normal_log_prob(q, z), axis=-1)
+                    return lpx + lpz - lqz
 
-    n = data[0].shape[0]
-    keys = jax.random.split(key, n)
-    lls = jax.vmap(one_point)(joint_mu, joint_std, tuple(data), keys)
+                return _chunked_is(log_w, key_i, K, batch_size_K)
+
+            keys = jax.random.split(key, data[0].shape[0])
+            return jax.vmap(one_point)(joint_mu, joint_std, tuple(data), keys)
+        return run
+
+    fn = _cached_jit("joint_ll_mvae", model, (K, batch_size_K), build)
+    lls = fn(variables, list(data), key)
     return {"likelihood": float(jnp.mean(lls))}
 
 
@@ -215,33 +276,44 @@ def joint_ll_from_uni_jmvae_nf(model, variables, data, cond_mod: int, spec, key,
     """ln p(x, y) with the flow posterior q(z|x_cond) as proposal
     (jmvae_nf.py:87-143)."""
 
-    def one_point(xs_i, key_i):
-        x_rep = jnp.repeat(xs_i[cond_mod][None], batch_size_K, 0)
+    def build():
+        @jax.jit
+        def run(variables, data, key):
+            def one_point(xs_i, key_i):
+                x_rep = jnp.repeat(xs_i[cond_mod][None], batch_size_K, 0)
 
-        def log_w(k):
-            out = model.apply(variables, x_rep, cond_mod,
-                              method="vae_forward_by_mod", rngs={"sample": k})
-            z = out["z"]
-            log_q_z0 = jnp.sum(
-                -0.5 * (out["log_var"] + LOG2PI
-                        + (out["z0"] - out["mu"]) ** 2 / jnp.exp(out["log_var"])),
-                axis=-1)
-            lqz = log_q_z0 - out["log_abs_det_jac"]
-            recons = model.apply(variables, z, method="decode_all")
-            lpx = sum(
-                recon_log_prob_flat(spec.recon_dists[m], recons[m], xs_i[m][None])
-                for m in range(len(recons))
-            )
-            lpz = jnp.sum(D.log_prob(
-                spec.posterior, LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
-                axis=-1)
-            return lpx + lpz - lqz
+                def log_w(k):
+                    out = model.apply(variables, x_rep, cond_mod,
+                                      method="vae_forward_by_mod",
+                                      rngs={"sample": k})
+                    z = out["z"]
+                    log_q_z0 = jnp.sum(
+                        -0.5 * (out["log_var"] + LOG2PI
+                                + (out["z0"] - out["mu"]) ** 2
+                                / jnp.exp(out["log_var"])),
+                        axis=-1)
+                    lqz = log_q_z0 - out["log_abs_det_jac"]
+                    recons = model.apply(variables, z, method="decode_all")
+                    lpx = sum(
+                        recon_log_prob_flat(spec.recon_dists[m], recons[m],
+                                            xs_i[m][None])
+                        for m in range(len(recons))
+                    )
+                    lpz = jnp.sum(D.log_prob(
+                        spec.posterior,
+                        LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
+                        axis=-1)
+                    return lpx + lpz - lqz
 
-        return _chunked_is(log_w, key_i, K, batch_size_K)
+                return _chunked_is(log_w, key_i, K, batch_size_K)
 
-    n = data[0].shape[0]
-    keys = jax.random.split(key, n)
-    lls = jax.vmap(one_point)(tuple(data), keys)
+            keys = jax.random.split(key, data[0].shape[0])
+            return jax.vmap(one_point)(tuple(data), keys)
+        return run
+
+    fn = _cached_jit("joint_ll_from_uni_jnf", model,
+                     (cond_mod, K, batch_size_K), build)
+    lls = fn(variables, list(data), key)
     return {f"joint_ll_from_{cond_mod}": float(jnp.mean(lls))}
 
 
@@ -251,30 +323,41 @@ def joint_ll_from_uni_gaussian(model, variables, data, cond_mod: int, spec, key,
     proposal — the MMVAE/MVAE variant (mmvae.py:180-234; mvae.py:160-217,
     which keeps the raw encoder posterior rather than PoE-with-prior, a
     documented reference quirk at mvae.py:171-172)."""
-    qz_params = model.apply(variables, data, method="encode_all")
-    mu, std = qz_params[cond_mod]
 
-    def one_point(mu_i, std_i, xs_i, key_i):
-        def log_w(k):
-            q = LocScale(jnp.broadcast_to(mu_i, (batch_size_K,) + mu_i.shape),
-                         jnp.broadcast_to(std_i, (batch_size_K,) + std_i.shape))
-            z = D.sample(spec.posterior, q, k)
-            recons = model.apply(variables, z, method="decode_all")
-            lpx = sum(
-                recon_log_prob_flat(spec.recon_dists[m], recons[m], xs_i[m][None])
-                for m in range(len(recons))
-            )
-            lpz = jnp.sum(D.log_prob(
-                spec.posterior, LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
-                axis=-1)
-            lqz = jnp.sum(D.log_prob(spec.posterior, q, z), axis=-1)
-            return lpx + lpz - lqz
+    def build():
+        @jax.jit
+        def run(variables, data, key):
+            qz_params = model.apply(variables, data, method="encode_all")
+            mu, std = qz_params[cond_mod]
 
-        return _chunked_is(log_w, key_i, K, batch_size_K)
+            def one_point(mu_i, std_i, xs_i, key_i):
+                def log_w(k):
+                    q = LocScale(
+                        jnp.broadcast_to(mu_i, (batch_size_K,) + mu_i.shape),
+                        jnp.broadcast_to(std_i, (batch_size_K,) + std_i.shape))
+                    z = D.sample(spec.posterior, q, k)
+                    recons = model.apply(variables, z, method="decode_all")
+                    lpx = sum(
+                        recon_log_prob_flat(spec.recon_dists[m], recons[m],
+                                            xs_i[m][None])
+                        for m in range(len(recons))
+                    )
+                    lpz = jnp.sum(D.log_prob(
+                        spec.posterior,
+                        LocScale(jnp.zeros_like(z), jnp.ones_like(z)), z),
+                        axis=-1)
+                    lqz = jnp.sum(D.log_prob(spec.posterior, q, z), axis=-1)
+                    return lpx + lpz - lqz
 
-    n = data[0].shape[0]
-    keys = jax.random.split(key, n)
-    lls = jax.vmap(one_point)(mu, std, tuple(data), keys)
+                return _chunked_is(log_w, key_i, K, batch_size_K)
+
+            keys = jax.random.split(key, data[0].shape[0])
+            return jax.vmap(one_point)(mu, std, tuple(data), keys)
+        return run
+
+    fn = _cached_jit("joint_ll_from_uni_gauss", model,
+                     (cond_mod, K, batch_size_K), build)
+    lls = fn(variables, list(data), key)
     return {f"joint_ll_from_{cond_mod}": float(jnp.mean(lls))}
 
 

@@ -349,32 +349,17 @@ class Trainer:
         return total / n, {k: float(v) / n for k, v in agg.items()}
 
     def make_device_pipeline(self, train_loader):
-        """Wrap an ArrayLoader's dataset as a device-resident pipeline.
+        """Wrap an ArrayLoader's dataset as a device-resident pipeline
+        (data/device_pipeline.from_array_loader: LazyGather modalities ship
+        deduplicated base arrays + real pairing tables)."""
+        from ..data.device_pipeline import from_array_loader
 
-        LazyGather modalities (data/loaders.py) ship their deduplicated
-        base array + the real pairing table — the pipeline's native form:
-        HBM holds each unique image once and the pairing gather happens
-        on-device. Materialized modalities fall back to identity tables."""
-        from ..data.device_pipeline import DeviceDataPipeline
-        from ..data.loaders import LazyGather
-
-        ds = train_loader.dataset
-        n = len(ds)
-        arrays, idx = [], []
-        for m in ds.modalities:
-            if isinstance(m, LazyGather):
-                arrays.append(m.base)
-                idx.append(m.idx.astype(np.int32))
-            else:
-                arrays.append(m)
-                idx.append(np.arange(n, dtype=np.int32))
         mesh = self.mesh if self.mesh.shape.get("data", 1) > 1 else None
         if mesh is not None:
             assert train_loader.batch_size % mesh.shape["data"] == 0, (
                 "batch_size must divide the mesh 'data' axis for the "
                 "device-pipeline path")
-        return DeviceDataPipeline(arrays, idx, train_loader.batch_size,
-                                  shuffle=train_loader.shuffle, mesh=mesh)
+        return from_array_loader(train_loader, mesh=mesh)
 
     def fit(self, train_loader, val_loader, key=None,
             callbacks: Optional[List[Callable]] = None,

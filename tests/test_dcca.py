@@ -54,22 +54,18 @@ def test_mcca_chol_matches_eigh():
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
-class _FakeLoader:
-    def __init__(self, batches):
-        self.batches = batches
-
-    def __iter__(self):
-        return iter(self.batches)
-
-
 def test_trimodal_mcca_solver():
     """The trimodal DCCA training path (main_mnist_svhn_fashion.py):
     3 encoders, pairwise mcca loss, LCCA fit on the first two views."""
+    from mmvae_tpu.data.loaders import ArrayLoader, PairedDataset
+
     rng = np.random.default_rng(0)
     xs = [rng.uniform(size=(32, 1, 28, 28)).astype(np.float32),
           rng.uniform(size=(32, 3, 32, 32)).astype(np.float32),
           rng.uniform(size=(32, 1, 28, 28)).astype(np.float32)]
-    loader = _FakeLoader([(xs, [np.zeros(32, np.int64)] * 3)])
+    loader = ArrayLoader(
+        PairedDataset(xs, [np.zeros(32, np.int64)] * 3),
+        batch_size=32, shuffle=False)
     solver = Solver(dcca_encoders_msf(8), 8, backend="chol")
     solver.fit(loader, val_loader=None, epochs=2)
     assert solver.lcca.w[0].shape == (8, 8)
