@@ -28,6 +28,9 @@ def main(argv=None):
                         "set (compute_likelihoods.py:102-107)")
     parser.add_argument("--max-batches", type=int, default=0,
                         help="cap on test batches per repeat (0 = no cap)")
+    parser.add_argument("--batch-size", type=int, default=500,
+                        help="test batch size (fewer, larger batches "
+                        "amortize the per-batch host->device upload)")
     parser.add_argument("--bis", action="store_true",
                         help="also compute the ln p(x|y) = joint_ll_from_uni"
                         " - uni_from_prior protocol (multi_vaes.py:253-268)"
@@ -48,7 +51,8 @@ def main(argv=None):
 
     run_path = info.run_path or find_latest_run(info.experiments_dir, info.model)
     print("Computing likelihoods for", run_path)
-    cfg, bundle, variables, (train_l, test_l, val_l) = reload_model(run_path)
+    cfg, bundle, variables, (train_l, test_l, val_l) = reload_model(
+        run_path, batch_size=info.batch_size)
     key = jax.random.PRNGKey(cfg.seed)
 
     if isinstance(bundle.model, JMVAE_NF):
