@@ -252,22 +252,42 @@ def load_torch_inception_weights(variables, pt_path: str):
 
 def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
     """wrapper_inception equivalent (inception.py:332-345): images -> 2048-d
-    activations, jitted, chunked over the batch."""
+    activations, jitted, chunked over the batch.
+
+    Remote-backend hygiene (docs/BENCH_NOTES.md round-2): init is jitted
+    (eager init dispatches every inception op over the tunnel), inputs are
+    channel-padded on host and the last chunk is padded to `batch`, so the
+    whole run costs exactly one ~90s remote compile per input resolution.
+    """
     model = InceptionV3FID()
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, jnp.zeros((1, 3, 299, 299)))
+    variables = jax.jit(model.init)(key, jnp.zeros((1, 3, 299, 299)))
     if weights_path is not None:
-        variables = load_torch_inception_weights(variables, weights_path)
+        variables = jax.device_put(
+            load_torch_inception_weights(variables, weights_path))
 
     @jax.jit
     def fwd(v, x):
         return model.apply(v, fid_preprocess(x))
 
     def activations(images) -> np.ndarray:
+        images = np.asarray(images, dtype=np.float32)
+        n, c = images.shape[0], images.shape[1]
+        if c == 1:  # zero-channel padding commutes with the resize
+            images = np.concatenate(
+                [images, np.zeros_like(images), np.zeros_like(images)], axis=1)
         out = []
-        n = images.shape[0]
         for s in range(0, n, batch):
-            out.append(np.asarray(fwd(variables, jnp.asarray(images[s: s + batch]))))
+            chunk = images[s: s + batch]
+            m = chunk.shape[0]
+            # pad to the next power-of-two bucket (capped at `batch`) so a
+            # ragged final chunk reuses at most one extra compiled shape
+            bucket = min(batch, 1 << max(0, (m - 1)).bit_length())
+            if m < bucket:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bucket - m, *chunk.shape[1:]), chunk.dtype)])
+            acts = np.asarray(fwd(variables, jnp.asarray(chunk)))
+            out.append(acts[:m])
         return np.concatenate(out)
 
     return activations
