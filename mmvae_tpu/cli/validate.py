@@ -39,6 +39,16 @@ def main(argv=None):
     if info.platform:
         jax.config.update("jax_platforms", info.platform)
 
+    # live diagnosis hook for tunnel stalls: `kill -USR1 <pid>` dumps stacks
+    import faulthandler
+    import signal
+    import time
+    faulthandler.register(signal.SIGUSR1)
+    t_start = time.time()
+
+    def _mark(msg):
+        print(f"[{time.time() - t_start:7.1f}s] {msg}", flush=True)
+
     from ..core.runtime import enable_compilation_cache
 
     enable_compilation_cache()
@@ -50,13 +60,16 @@ def main(argv=None):
     print("Validating", run_path)
     cfg, bundle, variables, (train_l, test_l, val_l) = reload_model(
         run_path, batch_size=info.batch_size)
+    _mark("model reloaded")
     key = jax.random.PRNGKey(cfg.seed)
     classifiers = get_or_train_classifiers(bundle, (train_l, test_l, val_l),
                                            info.experiments_dir, key)
+    _mark("classifiers ready")
 
     if not info.skip_fid:
         weights = info.fid_weights or None
         encoder_fn = make_inception_fn(weights_path=weights)
+        _mark("inception initialized")
 
     has_poe = hasattr(bundle.model, "poe_log_density") or \
         hasattr(bundle.model, "poe_subset_params")
@@ -75,6 +88,7 @@ def main(argv=None):
             metrics = compute_accuracies_dataset(
                 bundle.model, variables, classifiers, test_l, kr,
                 bundle.spec, ns=info.ns)
+            _mark(f"repeat {r}: accuracies done")
             n_mod = len(test_l.dataset.modalities)
             needs_batch = (n_mod == 3 and has_poe) or \
                 bundle.dataset == "circles_squares"
@@ -103,7 +117,8 @@ def main(argv=None):
             if not info.skip_fid:
                 metrics.update(cross_modal_fid(bundle.model, variables,
                                                test_l, bundle.spec, kr,
-                                               encoder_fn, n_batches=4))
+                                               encoder_fn, n_batches=4,
+                                               verbose=(r == 0)))
             all_metrics.append(metrics)
             print(f"repeat {r}: {metrics}")
             continue
@@ -158,7 +173,7 @@ def main(argv=None):
         if not info.skip_fid:
             metrics.update(cross_modal_fid(bundle.model, variables, test_l,
                                            bundle.spec, kr, encoder_fn,
-                                           n_batches=4))
+                                           n_batches=4, verbose=(r == 0)))
         all_metrics.append(metrics)
         print(f"repeat {r}: {metrics}")
 

@@ -258,10 +258,27 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
     (eager init dispatches every inception op over the tunnel), inputs are
     channel-padded on host and the last chunk is padded to `batch`, so the
     whole run costs exactly one ~90s remote compile per input resolution.
+    The forward is compiled with the persistent compilation cache bypassed:
+    the axon remote backend's `deserialize_executable` hangs indefinitely on
+    the cached inception executable (observed via SIGUSR1 stack dumps), so a
+    fresh compile per process is the reliable path.
     """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _no_persistent_cache():
+        prev = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev)
+
     model = InceptionV3FID()
     key = jax.random.PRNGKey(0)
-    variables = jax.jit(model.init)(key, jnp.zeros((1, 3, 299, 299)))
+    with _no_persistent_cache():
+        variables = jax.jit(model.init)(key, jnp.zeros((1, 3, 299, 299)))
+        jax.block_until_ready(variables)
     if weights_path is not None:
         variables = jax.device_put(
             load_torch_inception_weights(variables, weights_path))
@@ -269,6 +286,8 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
     @jax.jit
     def fwd(v, x):
         return model.apply(v, fid_preprocess(x))
+
+    compiled_shapes = set()
 
     def activations(images) -> np.ndarray:
         images = np.asarray(images, dtype=np.float32)
@@ -286,7 +305,12 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
             if m < bucket:
                 chunk = np.concatenate(
                     [chunk, np.zeros((bucket - m, *chunk.shape[1:]), chunk.dtype)])
-            acts = np.asarray(fwd(variables, jnp.asarray(chunk)))
+            if chunk.shape not in compiled_shapes:
+                with _no_persistent_cache():
+                    acts = np.asarray(fwd(variables, jnp.asarray(chunk)))
+                compiled_shapes.add(chunk.shape)
+            else:
+                acts = np.asarray(fwd(variables, jnp.asarray(chunk)))
             out.append(acts[:m])
         return np.concatenate(out)
 
@@ -298,10 +322,19 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
 # ---------------------------------------------------------------------------
 
 def cross_modal_fid(model, variables, loader, spec, key,
-                    encoder_fn: Callable, n_batches: Optional[int] = None):
+                    encoder_fn: Callable, n_batches: Optional[int] = None,
+                    verbose: bool = False):
     """Per-direction conditional FID: reference activations of real test
     data vs activations of cross-generated samples."""
+    import time
+
     from .generation import sample_from_conditional
+
+    t0 = time.time()
+
+    def _mark(msg):
+        if verbose:
+            print(f"  [fid +{time.time() - t0:6.1f}s] {msg}", flush=True)
 
     n_mod = None
     ref_acts: List[List[np.ndarray]] = []
@@ -315,6 +348,7 @@ def cross_modal_fid(model, variables, loader, spec, key,
             gen_acts = [[] for _ in range(n_mod)]
         for m in range(n_mod):
             ref_acts[m].append(encoder_fn(xs[m]))
+        _mark(f"batch {bi}: real activations")
         gen = sample_from_conditional(model, variables,
                                       [jnp.asarray(x) for x in xs],
                                       jax.random.fold_in(key, bi), n=1)
@@ -323,9 +357,11 @@ def cross_modal_fid(model, variables, loader, spec, key,
             src = (m + 1) % n_mod
             g = np.asarray(gen[src][m][0])
             gen_acts[m].append(encoder_fn(g))
+        _mark(f"batch {bi}: generated activations")
     fids = {}
     for m in range(n_mod):
         mu1, s1 = activation_statistics(np.concatenate(ref_acts[m]))
         mu2, s2 = activation_statistics(np.concatenate(gen_acts[m]))
         fids[f"fid_{m}"] = calculate_frechet_distance(mu1, s1, mu2, s2)
+        _mark(f"frechet distance mod {m}")
     return fids
