@@ -41,16 +41,21 @@ def main(argv=None):
     key = jax.random.PRNGKey(cfg.seed)
 
     model = bundle.model
+    # jitted: the latent sweep walks EVERY train batch — eager apply would
+    # dispatch per-op over the tunnel (docs/BENCH_NOTES.md round-2 rules)
     if hasattr(model, "joint_encoder"):
-        def infer_fn(xs):
-            mu, std = model.apply(variables, [jnp.asarray(x) for x in xs],
-                                  method="encode_joint")
+        @jax.jit
+        def _infer(v, xs):
+            mu, std = model.apply(v, xs, method="encode_joint")
             return mu
     else:
-        def infer_fn(xs):
-            out = model.apply(variables, [jnp.asarray(x) for x in xs],
-                              method="encode_all")
+        @jax.jit
+        def _infer(v, xs):
+            out = model.apply(v, xs, method="encode_all")
             return out[0][0]  # first-modality posterior mean
+
+    def infer_fn(xs):
+        return _infer(variables, [jnp.asarray(x) for x in xs])
 
     sampler, latents, labels = fit_sampler_on_train_latents(
         model, variables, train_l, infer_fn)

@@ -48,3 +48,24 @@ def test_train_then_validate_full_test_set(tmp_path):
         assert k in summary
         assert 0.0 <= summary[k]["mean"] <= 1.0
     assert os.path.exists(os.path.join(run_path, "metrics.json"))
+
+
+def test_generate_joint_cli(tmp_path):
+    """GMM joint generation end to end (generate_joint.py:50-114): fit on
+    train latents through the jitted infer path, save
+    generated_modality_i.npy, score joint coherence."""
+    from mmvae_tpu.cli.generate_joint import main as gen_main
+    from mmvae_tpu.cli.train import main as train_main
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(SMOKE_CFG))
+    exp_dir = str(tmp_path / "exp")
+    run_path = train_main(["--config-path", str(cfg_path),
+                           "--experiments-dir", exp_dir])
+
+    joint_acc = gen_main(["--run-path", run_path,
+                          "--experiments-dir", exp_dir, "--n", "64"])
+    assert 0.0 <= joint_acc <= 1.0
+    for i in range(2):
+        p = os.path.join(run_path, f"generated_modality_{i}.npy")
+        assert os.path.exists(p)
