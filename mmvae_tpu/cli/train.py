@@ -101,7 +101,8 @@ def main(argv=None):
     print(f"Train: {train_loader.num_examples}, Test: {test_loader.num_examples}, "
           f"Val: {val_loader.num_examples}")
 
-    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh, run_path=run_path)
+    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh, run_path=run_path,
+                      experiments_dir=info.experiments_dir)
     print(f"objective: {trainer.obj_name}")
 
     hooks = []
@@ -133,6 +134,23 @@ def main(argv=None):
             return v
 
     callbacks = []
+
+    # per-epoch metric tracking (main.py:40-43,166,212 wandb semantics):
+    # metrics.jsonl in the run dir always; wandb transparently if available
+    from ..utils import Tracker
+
+    tracker = Tracker(project=cfg.wandb_experiment or experiment,
+                      run_path=run_path, config=cfg.to_dict())
+
+    def track(trainer_, state_, epoch, tr_det, va_det, **metrics):
+        payload = {"train_loss": metrics.get("tr_loss"),
+                   "val_loss": metrics.get("va_loss"),
+                   "lr": metrics.get("lr")}
+        payload.update({f"train_{k}": v for k, v in (tr_det or {}).items()})
+        payload.update({f"val_{k}": v for k, v in (va_det or {}).items()})
+        tracker.log(payload, step=epoch)
+
+    callbacks.append(track)
     if not cfg.no_analytics:
         from ..eval.generation import generate, sample_from_conditional
         from ..vis import adjust_shape, save_image, save_samples
@@ -145,7 +163,7 @@ def main(argv=None):
         val_extras = getattr(val_loader.dataset, "extras", {}) or {}
         has_radii = {"r_squares", "r_circles"} <= set(val_extras)
 
-        def analytics(trainer_, state_, epoch, tr_det, va_det):
+        def analytics(trainer_, state_, epoch, tr_det, va_det, **metrics):
             """Per-epoch image grids (main.py:195-209): conditional samples,
             reconstructions, prior generations."""
             if epoch % cfg.freq_analytics != 0 and epoch != 1:
@@ -190,6 +208,7 @@ def main(argv=None):
                         variables_hook=variables_hook, callbacks=callbacks,
                         use_device_pipeline=use_dp)
 
+    tracker.close()
     with open(os.path.join(run_path, "losses.json"), "w") as f:
         json.dump(getattr(trainer, "_history", {}), f)
     print("done; best checkpoints in", run_path)

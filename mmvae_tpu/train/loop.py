@@ -40,12 +40,14 @@ class TrainerState:
 class Trainer:
     def __init__(self, model, spec, cfg: ExperimentConfig, mesh=None,
                  run_path: Optional[str] = None, multimodal: bool = True,
-                 log_fn: Callable[[str], None] = print):
+                 log_fn: Callable[[str], None] = print,
+                 experiments_dir: Optional[str] = None):
         self.model = model
         self.spec = spec
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_data=1)
         self.run_path = run_path
+        self.experiments_dir = experiments_dir
         self.log = log_fn
         self.obj_name, self.obj_fn, self.custom_grad = obj_mod.resolve(
             cfg.obj, multimodal, cfg.looser
@@ -450,7 +452,8 @@ class Trainer:
                 f"({time.time() - t0:.1f}s, lr {plateau.lr:g})"
             )
             for cb in callbacks or []:
-                cb(self, state, epoch, tr_details, va_details)
+                cb(self, state, epoch, tr_details, va_details,
+                   tr_loss=tr_loss, va_loss=va_loss, lr=plateau.lr)
 
             if va_loss < best_loss:
                 bad_epochs = 0
@@ -482,8 +485,14 @@ class Trainer:
         return hasattr(self.model, "joint_encoder")
 
     def _joint_pool_path(self):
+        """Shared joint-encoder pool at <experiments_dir>/joint_encoders/<exp>
+        (main.py:79 — the same location skip_warmup loads and use_gen reads;
+        shared across runs and days, NOT per-run). Falls back to a pool next
+        to run_path when no experiments_dir was given (bare-run-path tests)."""
         import os
 
-        exp = self.cfg.experiment.split("/")[-1] or "default"
+        exp = (self.cfg.experiment or "default").split("/")[-1]
+        if self.experiments_dir:
+            return os.path.join(self.experiments_dir, "joint_encoders", exp)
         base = os.path.dirname(self.run_path.rstrip("/")) if self.run_path else "."
         return os.path.join(base, "joint_encoders", exp)
