@@ -177,6 +177,15 @@ def main(argv=None):
         all_metrics.append(metrics)
         print(f"repeat {r}: {metrics}")
 
+    # per-repeat tracking (validate.py:153-154 wandb.log semantics)
+    from ..utils import Tracker
+
+    tracker = Tracker(project=cfg.wandb_experiment or cfg.experiment,
+                      run_path=run_path)
+    for r, m in enumerate(all_metrics):
+        tracker.log({f"val/{k}": v for k, v in m.items()}, step=r)
+    tracker.close()
+
     summary = {}
     for k in all_metrics[0]:
         vals = [m[k] for m in all_metrics]

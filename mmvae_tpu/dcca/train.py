@@ -111,17 +111,23 @@ class Solver:
 
         val_pipe = None
         if val_loader is not None:
-            val_pipe = from_array_loader(val_loader, shuffle=False)
-            vgather = val_pipe.gather_fn()
+            vp = from_array_loader(val_loader, shuffle=False)
+            v_batches = list(vp.epoch_index_batches())
+            if not v_batches:
+                # val split smaller than one batch: train without early stop
+                print("DCCA: val split < one batch; no validation")
+            else:
+                val_pipe = vp
+                vgather = val_pipe.gather_fn()
 
-            @jax.jit
-            def vstep(variables, data_state, rows_all, counter):
-                rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
-                                                    keepdims=False)
-                return _loss(model.apply(variables, vgather(rows, data_state)))
+                @jax.jit
+                def vstep(variables, data_state, rows_all, counter):
+                    rows = jax.lax.dynamic_index_in_dim(rows_all, counter, 0,
+                                                        keepdims=False)
+                    return _loss(model.apply(variables,
+                                             vgather(rows, data_state)))
 
-            val_rows = jnp.asarray(
-                np.stack(list(val_pipe.epoch_index_batches())))
+                val_rows = jnp.asarray(np.stack(v_batches))
 
         best_val, bad, best_vars = np.inf, 0, variables
         for epoch in range(epochs):

@@ -1,7 +1,8 @@
-"""CLI-level e2e: train via cli.train, then validate via cli.validate with
-a multi-batch test loader — pins the full-test-set evaluation protocol
-(validate.py:111-116: every test batch scored, per-batch metrics averaged
-within a repeat, mean/std across repeats)."""
+"""CLI-level e2e: train via cli.train, then drive every analysis CLI
+against the same run — validate with a multi-batch test loader (pins the
+full-test-set protocol, validate.py:111-116), GMM joint generation
+(generate_joint.py:50-114), IS likelihoods (compute_likelihoods.py:102-107),
+and results plotting."""
 
 import json
 import os
@@ -22,23 +23,33 @@ SMOKE_CFG = {
 }
 
 
-def test_train_then_validate_full_test_set(tmp_path):
+@pytest.fixture(scope="module")
+def smoke_run(tmp_path_factory):
+    """One smoke-trained MMVAE run shared by every analysis-CLI test."""
     from mmvae_tpu.cli.train import main as train_main
-    from mmvae_tpu.cli.validate import main as validate_main
 
-    cfg_path = tmp_path / "cfg.json"
+    tmp = tmp_path_factory.mktemp("cli_smoke")
+    cfg_path = tmp / "cfg.json"
     cfg_path.write_text(json.dumps(SMOKE_CFG))
-    exp_dir = str(tmp_path / "exp")
+    exp_dir = str(tmp / "exp")
     run_path = train_main(["--config-path", str(cfg_path),
                            "--experiments-dir", exp_dir])
+    return run_path, exp_dir
+
+
+def test_train_then_validate_full_test_set(smoke_run):
+    from mmvae_tpu.cli.validate import main as validate_main
+
+    run_path, exp_dir = smoke_run
     assert os.path.exists(os.path.join(run_path, "model.msgpack"))
 
     # per-epoch tracking (main.py:166,212 wandb.log semantics -> metrics.jsonl)
     with open(os.path.join(run_path, "metrics.jsonl")) as f:
         rows = [json.loads(line) for line in f]
-    assert len(rows) == SMOKE_CFG["epochs"]
-    for r in rows:
-        assert "train_loss" in r and "val_loss" in r and "epoch" in r
+    train_rows = [r for r in rows if "train_loss" in r]
+    assert len(train_rows) == SMOKE_CFG["epochs"]
+    for r in train_rows:
+        assert "val_loss" in r and "epoch" in r
 
     # the test loader must yield >1 batch so the full-set loop is exercised
     from mmvae_tpu.data import get_dataloaders
@@ -55,6 +66,11 @@ def test_train_then_validate_full_test_set(tmp_path):
         assert k in summary
         assert 0.0 <= summary[k]["mean"] <= 1.0
     assert os.path.exists(os.path.join(run_path, "metrics.json"))
+
+    # validate appends one tracking row per repeat (validate.py:153-154)
+    with open(os.path.join(run_path, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert sum(1 for r in rows if "val/acc_0_1" in r) == 2
 
 
 def test_skip_warmup_use_gen_pool(tmp_path, capsys):
@@ -92,22 +108,74 @@ def test_skip_warmup_use_gen_pool(tmp_path, capsys):
     assert "no pool" not in out  # the pool WAS found and reloaded
 
 
-def test_generate_joint_cli(tmp_path):
+def test_generate_joint_cli(smoke_run):
     """GMM joint generation end to end (generate_joint.py:50-114): fit on
     train latents through the jitted infer path, save
     generated_modality_i.npy, score joint coherence."""
     from mmvae_tpu.cli.generate_joint import main as gen_main
-    from mmvae_tpu.cli.train import main as train_main
 
-    cfg_path = tmp_path / "cfg.json"
-    cfg_path.write_text(json.dumps(SMOKE_CFG))
-    exp_dir = str(tmp_path / "exp")
-    run_path = train_main(["--config-path", str(cfg_path),
-                           "--experiments-dir", exp_dir])
-
+    run_path, exp_dir = smoke_run
     joint_acc = gen_main(["--run-path", run_path,
                           "--experiments-dir", exp_dir, "--n", "64"])
     assert 0.0 <= joint_acc <= 1.0
     for i in range(2):
         p = os.path.join(run_path, f"generated_modality_{i}.npy")
         assert os.path.exists(p)
+
+
+def test_compute_likelihoods_cli(smoke_run):
+    """IS likelihood protocol through the CLI (compute_likelihoods.py:96-117
+    semantics): conditional + joint + bis estimates over test batches,
+    summary persisted to likelihoods.json."""
+    from mmvae_tpu.cli.compute_likelihoods import main as ll_main
+
+    run_path, exp_dir = smoke_run
+    summary = ll_main(["--run-path", run_path, "--experiments-dir", exp_dir,
+                       "--k", "10", "--batch-size-k", "5", "--repeats", "2",
+                       "--batch-size", "16", "--max-batches", "1", "--bis"])
+    for k in ("cond_likelihood_0_1", "cond_likelihood_1_0"):
+        assert k in summary and summary[k]["mean"] < 0.0
+    # bis protocol = joint_ll_from_uni - uni_from_prior (multi_vaes.py:253-268)
+    assert "conditional_likelihood_bis_0_1" in summary
+    assert "conditional_likelihood_bis_1_0" in summary
+    assert os.path.exists(os.path.join(run_path, "likelihoods.json"))
+
+
+def test_dcca_train_cli(tmp_path, capsys):
+    """DCCA pretrain entry (dcca/main_mnist_svhn.py protocol): Solver fit,
+    artifact export to <out>/<dataset>/dcca.npz, SVM probe on the LCCA
+    projections."""
+    import jax
+
+    from mmvae_tpu.cli.dcca_train import main as dcca_main
+
+    try:
+        out = dcca_main(["--dataset", "mnist_svhn", "--synthetic-n", "128",
+                         "--epochs", "1", "--batch-size", "64", "--outdim",
+                         "4", "--out", str(tmp_path / "dcca"),
+                         "--platform", "cpu"])
+    finally:
+        # the CLI enables x64 for the CPU eigh path; undo the global toggle
+        jax.config.update("jax_enable_x64", False)
+    assert os.path.exists(out) and out.endswith("dcca.npz")
+    assert "SVM probe view 1" in capsys.readouterr().out
+
+
+def test_plot_results_cli(smoke_run, tmp_path):
+    """plot_results renders metric comparisons and loss curves to PNG."""
+    from mmvae_tpu.cli.plot_results import main as plot_main
+
+    run_path, _ = smoke_run
+    # order-independent: ensure a metrics.json exists (validate writes one)
+    mpath = os.path.join(run_path, "metrics.json")
+    if not os.path.exists(mpath):
+        with open(mpath, "w") as f:
+            json.dump({"acc_0_1": {"mean": 0.5, "std": 0.1}}, f)
+    out1 = str(tmp_path / "metric.png")
+    plot_main(["--runs", run_path, run_path, "--metric", "acc_0_1",
+               "--out", out1])
+    assert os.path.getsize(out1) > 0
+
+    out2 = str(tmp_path / "losses.png")
+    plot_main(["--runs", run_path, "--losses", "--out", out2])
+    assert os.path.getsize(out2) > 0
