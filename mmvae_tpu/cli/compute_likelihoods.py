@@ -86,13 +86,26 @@ def main(argv=None):
                     jax.random.fold_in(kb, 999),
                     K=info.k, batch_size_K=info.batch_size_k))
             if info.bis:
-                metrics.update(L.compute_conditional_likelihoods_bis(
-                    bundle.model, variables, xs, bundle.spec,
-                    jax.random.fold_in(kb, 998),
-                    K=info.k, batch_size_K=info.batch_size_k))
+                try:
+                    metrics.update(L.compute_conditional_likelihoods_bis(
+                        bundle.model, variables, xs, bundle.spec,
+                        jax.random.fold_in(kb, 998),
+                        K=info.k, batch_size_K=info.batch_size_k))
+                except NotImplementedError as e:
+                    # MMVAE_NF: the reference's own estimator is an
+                    # unimplemented stub (mmvae_nf.py:85-89) — skip, don't die
+                    if r == 0 and bi == 0:
+                        print(f"bis protocol unavailable: {e}")
+            w = xs[0].shape[0]
             for k2, v in metrics.items():
-                batch_metrics.setdefault(k2, []).append(v)
-        metrics = {k2: float(np.mean(v)) for k2, v in batch_metrics.items()}
+                batch_metrics.setdefault(k2, []).append((v, w))
+        # weight per-batch means by batch size: a ragged final test batch
+        # must not count as much as a full one (validate.py:111-116 scores
+        # every datapoint equally)
+        metrics = {
+            k2: float(sum(v * w for v, w in vw) / sum(w for _, w in vw))
+            for k2, vw in batch_metrics.items()
+        }
         all_metrics.append(metrics)
         print(f"repeat {r}: {metrics}")
 

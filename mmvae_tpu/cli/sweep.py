@@ -66,9 +66,15 @@ def _grid(spec_params):
 
 
 def run_trial(base_cfg: dict, overrides: dict, experiments_dir: str,
-              metric_name: str, trial_id: int) -> float:
-    """Train one config; return the sweep metric (falls back to -final val
-    loss so 'maximize' works for losses too)."""
+              metric_name: str, trial_id: int, sign: float = 1.0) -> float:
+    """Train one config; return a MAXIMIZATION score for the sweep metric.
+
+    The declared metric gets `sign` applied (+1 maximize / -1 minimize);
+    validate metrics (acc_*, joint_coherence — the reference sweep's
+    targets, sweep_mnist.yaml:3-5) are computed with a 1-repeat validate
+    when training alone didn't produce them. With no metric at all the
+    score falls back to -min(val loss), which is already
+    maximization-oriented and must NOT get `sign` applied again."""
     import tempfile
 
     from .train import main as train_main
@@ -82,7 +88,8 @@ def run_trial(base_cfg: dict, overrides: dict, experiments_dir: str,
         cfg_path = f.name
     run_path = train_main(["--config-path", cfg_path,
                            "--experiments-dir", experiments_dir])
-    # metric: from losses.json history (val loss) or metrics.json (validate)
+    # metric: from metrics.json if a prior validate wrote it, else run a
+    # cheap validate for it, else fall back to the training val loss
     score = None
     mpath = os.path.join(run_path, "metrics.json")
     if os.path.exists(mpath):
@@ -91,11 +98,22 @@ def run_trial(base_cfg: dict, overrides: dict, experiments_dir: str,
         if metric_name in metrics:
             v = metrics[metric_name]
             score = v["mean"] if isinstance(v, dict) else float(v)
+    if score is None and metric_name:
+        try:
+            from .validate import main as validate_main
+
+            summary = validate_main(["--run-path", run_path,
+                                     "--experiments-dir", experiments_dir,
+                                     "--repeats", "1", "--skip-fid"])
+            if metric_name in summary:
+                score = summary[metric_name]["mean"]
+        except Exception as e:  # sweep must survive a broken trial eval
+            print(f"sweep: validate for metric '{metric_name}' failed: {e}")
     if score is None:
         with open(os.path.join(run_path, "losses.json")) as f:
             hist = json.load(f)
-        score = -float(min(hist["test_loss"]))  # maximize -val_loss
-    return float(score)
+        return -float(min(hist["test_loss"]))  # maximize -val_loss
+    return sign * float(score)
 
 
 def main(argv=None):
@@ -145,8 +163,8 @@ def main(argv=None):
             overrides = _sample_params(spec["parameters"], rng,
                                        incumbent=best and best["overrides"],
                                        explore=explore)
-        score = sign * run_trial(base_cfg, overrides, info.experiments_dir,
-                                 metric_name, i)
+        score = run_trial(base_cfg, overrides, info.experiments_dir,
+                          metric_name, i, sign)
         trials.append({"overrides": overrides, "score": score})
         if best is None or score > best["score"]:
             best = trials[-1]

@@ -168,8 +168,14 @@ def main(argv=None):
                     run_path=run_path if r == 0 else None,
                     n=min(100, info.ns * 10), n_data=min(100, len(xs[0]))))
             for k, v in metrics.items():
-                batch_metrics.setdefault(k, []).append(v)
-        metrics = {k: float(np.mean(v)) for k, v in batch_metrics.items()}
+                batch_metrics.setdefault(k, []).append((v, n_data))
+        # weight per-batch means by the number of scored datapoints so a
+        # ragged final batch doesn't count as much as a full one
+        # (validate.py:111-116 scores every datapoint equally)
+        metrics = {
+            k: float(sum(v * w for v, w in vw) / sum(w for _, w in vw))
+            for k, vw in batch_metrics.items()
+        }
         if not info.skip_fid:
             metrics.update(cross_modal_fid(bundle.model, variables, test_l,
                                            bundle.spec, kr, encoder_fn,

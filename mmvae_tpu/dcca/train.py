@@ -55,22 +55,6 @@ class Solver:
             return pair(outs[0], outs[1], self.outdim, self.use_all)
         return multi(outs, self.outdim, self.use_all)
 
-    def make_step(self):
-        model, tx = self.model, self.tx
-
-        @jax.jit
-        def step(variables, opt_state, xs):
-            def lf(p):
-                outs = model.apply({**variables, "params": p}, xs)
-                return self._loss(outs)
-
-            loss, grads = jax.value_and_grad(lf)(variables["params"])
-            updates, opt_state = tx.update(grads, opt_state, variables["params"])
-            params = optax.apply_updates(variables["params"], updates)
-            return {**variables, "params": params}, opt_state, loss
-
-        return step
-
     def fit(self, train_loader, val_loader=None, epochs: int = 20,
             key=None, log=print, early_stop: int = 10):
         """Solver.fit (main_mnist_svhn.py:42-106): epoch loop + early stop on
@@ -89,7 +73,16 @@ class Solver:
         key = key if key is not None else jax.random.PRNGKey(0)
         sample_xs, _ = next(iter(train_loader))
         variables, opt_state = self.init(sample_xs, key)
+        # gradient steps use full batches only (the pipeline drops a ragged
+        # tail): the CCA objective estimates a within-batch covariance, and
+        # a small tail batch gives an ill-conditioned/singular estimate.
+        # The LCCA fit below still sees every training example.
         pipeline = from_array_loader(train_loader)
+        if len(pipeline) == 0:
+            raise ValueError(
+                f"DCCA train split ({pipeline.num_examples} examples) is "
+                f"smaller than one batch ({pipeline.batch_size}); lower "
+                "--batch-size")
         gather = pipeline.gather_fn()
         model, tx, _loss = self.model, self.tx, self._loss
 
@@ -154,7 +147,9 @@ class Solver:
             log(msg)
             if bad >= early_stop:
                 break
-        self.variables = best_vars if val_loader is not None else variables
+        # restore the early-stop winner only when validation actually ran
+        # (val_pipe, not val_loader: a sub-batch val split trains through)
+        self.variables = best_vars if val_pipe is not None else variables
 
         # linear CCA on full-train deep features (main_mnist_svhn.py:98-100);
         # sequential (unshuffled) rows padded to a full final batch, features

@@ -37,8 +37,20 @@ def conditional_labels(model, variables, classifiers: Sequence[Callable],
 
 
 # cache of fused per-batch metric programs, keyed per (model, classifiers)
-# instance set — refs held so ids can't be recycled
+# instance set — refs held so ids can't be recycled. Bounded: long-lived
+# processes scoring many models (sweeps, test suites) must not accumulate
+# executables/staged datasets forever.
 _ACC_CACHE: dict = {}
+_ACC_CACHE_CAP = 8
+_DS_CACHE_CAP = 2
+
+
+def _cache_put(cache: dict, key, val, cap: int):
+    """Insert with FIFO eviction (dicts preserve insertion order); evicted
+    staged datasets release their device buffers with the last reference."""
+    cache[key] = val
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
 
 
 def compute_accuracies(model, variables, classifiers, data, classes, key, spec,
@@ -81,7 +93,7 @@ def compute_accuracies(model, variables, classifiers, data, classes, key, spec,
     hit = _ACC_CACHE.get(ck)
     if hit is None:
         hit = (jax.jit(run, static_argnums=(5,)), model, tuple(classifiers))
-        _ACC_CACHE[ck] = hit
+        _cache_put(_ACC_CACHE, ck, hit, _ACC_CACHE_CAP)
     out = jax.device_get(hit[0](variables, clf_vars, bdata, true, key, ns))
     return {k: float(v) for k, v in out.items()}
 
@@ -163,7 +175,7 @@ def _staged_dataset(ds, batch):
         true[bi, e - s:] = labels0[s]
         w[bi, : e - s] = 1.0
     out = (stacks, jnp.asarray(true), jnp.asarray(w), nb, ds)
-    _DS_CACHE[ck] = out
+    _cache_put(_DS_CACHE, ck, out, _DS_CACHE_CAP)
     return out[:4]
 
 
@@ -234,7 +246,7 @@ def compute_accuracies_dataset(model, variables, classifiers, loader, key,
             return jax.tree.map(jnp.add, acc, out)
 
         hit = (step, model, tuple(classifiers))
-        _ACC_CACHE[ck] = hit
+        _cache_put(_ACC_CACHE, ck, hit, _ACC_CACHE_CAP)
     step = hit[0]
 
     stacks, true_all, w_all, nb = _staged_dataset(ds, batch)

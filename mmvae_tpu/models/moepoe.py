@@ -66,6 +66,16 @@ class MOEPOE(nn.Module):
             "log_vars": jnp.stack(log_vars),
         }
 
+    def encode_all(self, x, train: bool = False):
+        """Per-modality posterior params [(mu, std)] — the unimodal
+        proposals the IS likelihood protocol conditions on
+        (moepoe.py:160-215 uses q(z|x_cond) exactly like mmvae.py:180-234)."""
+        params = []
+        for m, vae in enumerate(self.vaes):
+            mu, log_var = vae.encode(x[m], train=train)
+            params.append((mu, vae.posterior_std(log_var)))
+        return params
+
     def infer_latent_from_mod(self, cond_mod: int, x, train: bool = False):
         out = self.vaes[cond_mod](x, train=train)
         return out["z"]

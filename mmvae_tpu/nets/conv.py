@@ -53,9 +53,12 @@ class Conv2d(nn.Module):
             (self.features, in_ch, k[0], k[1]), jnp.float32,
         )
         p = _pair(self.padding)
-        # mixed precision: contraction runs in the policy dtype (MXU still
-        # accumulates partial sums in f32), result upcast to f32 so biases,
-        # activations and cotangents stay float32
+        # mixed precision: operands in the policy dtype. XLA:TPU bf16 convs
+        # accumulate partial sums in f32 on the MXU; only the FINAL value is
+        # rounded to bf16 before our upcast (one rounding, not per-partial).
+        # preferred_element_type=f32 would avoid even that, but the conv
+        # transpose (grad) rule rejects the mixed-dtype conv it produces —
+        # Linear uses it (dot_general grads allow it), convs upcast instead.
         y = jax.lax.conv_general_dilated(
             cast_operand(x), cast_operand(kernel),
             window_strides=_pair(self.stride),
@@ -144,7 +147,8 @@ class Linear(nn.Module):
             "kernel", _uniform(math.sqrt(3.0) * bound),
             (fan_in, self.features), jnp.float32,
         )
-        y = jnp.matmul(cast_operand(x), cast_operand(kernel)).astype(jnp.float32)
+        y = jnp.matmul(cast_operand(x), cast_operand(kernel),
+                       preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias

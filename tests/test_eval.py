@@ -117,6 +117,25 @@ def test_conditional_likelihood_bis_mvae():
     assert np.isfinite(m["conditional_likelihood_bis_0_1"])
 
 
+def test_conditional_likelihood_bis_moepoe():
+    """The MoE-PoE variant (moepoe.py:160-215): unimodal encoder posterior
+    proposal, same IS structure as MMVAE — enabled by MOEPOE.encode_all."""
+    cfg = ExperimentConfig(
+        model="moepoe_mnist_svhn", obj="self_built", dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=4, batch_size=4,
+    )
+    bundle = registry.build(cfg)
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.uniform(size=(2,) + s).astype(np.float32))
+          for s in bundle.shape_mods]
+    key = jax.random.PRNGKey(0)
+    variables = bundle.model.init({"params": key, "sample": key}, xs, K=1)
+    m = ll.compute_conditional_likelihood_bis(
+        bundle.model, variables, xs, 0, 1, bundle.spec, key,
+        K=20, batch_size_K=10)
+    assert np.isfinite(m["conditional_likelihood_bis_0_1"])
+
+
 def test_conditional_likelihood_bis_jmvae_nf():
     """JMVAE-NF dispatches to the flow-posterior variant
     (jmvae_nf.py:87-143)."""
