@@ -55,11 +55,18 @@ def main(argv=None):
         run_path, batch_size=info.batch_size)
     key = jax.random.PRNGKey(cfg.seed)
 
+    from ..models.moepoe import MOEPOE
+
     if isinstance(bundle.model, JMVAE_NF):
         joint_fn = L.joint_likelihood_jmvae_nf
     elif isinstance(bundle.model, MVAE):
         joint_fn = L.joint_likelihood_mvae
     elif isinstance(bundle.model, MMVAE):
+        joint_fn = L.joint_likelihood_mmvae
+    elif isinstance(bundle.model, MOEPOE) and len(bundle.shape_mods) == 2:
+        # the reference's own MOEPOE.compute_joint_likelihood is broken
+        # (moepoe.py:217-249 contains a deliberate `1/0`); the MoE-proposal
+        # IS estimator is valid for any model exposing encode_all/decode_all
         joint_fn = L.joint_likelihood_mmvae
     else:
         joint_fn = None

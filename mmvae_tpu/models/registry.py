@@ -234,10 +234,12 @@ def moepoe_mnist_svhn(cfg: ExperimentConfig) -> ModelBundle:
         _vae(cfg, EncoderSVHN(latent_dim=cfg.latent_dim),
              DecoderSVHN(latent_dim=cfg.latent_dim), "svhn", posterior="normal"),
     ]
-    model = MOEPOE(vaes=vaes, lik_scaling=(1.0, 1.0),
+    # moepoe/mnist_svhn.py:52: same (3*32*32)/(28*28) scaling as MMVAE
+    model = MOEPOE(vaes=vaes, lik_scaling=_ms_lik_scaling(cfg),
                    recon_dists=tuple(cfg.recon_losses), beta_kl=cfg.beta_kl)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior="normal",
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0))
+                     recon_dists=tuple(cfg.recon_losses),
+                     lik_scaling=_ms_lik_scaling(cfg))
     return ModelBundle(model, spec, "mnist_svhn", ((1, 28, 28), (3, 32, 32)),
                        "moepoe_mnist_svhn", ("mnist", "svhn"))
 
@@ -290,8 +292,11 @@ def jnf_circles_squares(cfg: ExperimentConfig) -> ModelBundle:
     dcca_artifacts = _load_dcca_artifacts(cfg, "circles_squares")[0] if cfg.dcca else None
     dcca = _dcca_pair(cfg, dcca_encoders_circles, 16, dcca_artifacts) if cfg.dcca else None
     if cfg.dcca:
-        enc1 = TwoStepsEncoder(first_encoder=dcca[0], latent_dim=cfg.latent_dim, num_hidden=1)
-        enc2 = TwoStepsEncoder(first_encoder=dcca[1], latent_dim=cfg.latent_dim, num_hidden=1)
+        # the reference passes num_hidden=1 here but TwoStepsEncoder
+        # IGNORES the argument and always builds 512-wide x3 hidden
+        # (nn/encoders.py:183-184) — reproduce the executed architecture
+        enc1 = TwoStepsEncoder(first_encoder=dcca[0], latent_dim=cfg.latent_dim)
+        enc2 = TwoStepsEncoder(first_encoder=dcca[1], latent_dim=cfg.latent_dim)
     else:
         enc1 = EncoderSVHN(latent_dim=cfg.latent_dim, n_channels=1)
         enc2 = EncoderSVHN(latent_dim=cfg.latent_dim, n_channels=1)
@@ -323,8 +328,10 @@ def mnist_fashion(cfg: ExperimentConfig) -> ModelBundle:
              DecoderMNIST(latent_dim=cfg.latent_dim), "fashion"),
     ]
     model = MMVAE(vaes=vaes, posterior=cfg.dist)
+    # mmave_mnist.py:57: (1, 1) at llik_scaling==0, else (llik_scaling, 1)
+    ls = (1.0, 1.0) if cfg.llik_scaling == 0 else (cfg.llik_scaling, 1.0)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0))
+                     recon_dists=tuple(cfg.recon_losses), lik_scaling=ls)
     return ModelBundle(model, spec, "mnist_fashion", ((1, 28, 28), (1, 28, 28)),
                        "mmvae_mnist_fashion", ("mnist", "fashion"))
 
@@ -372,9 +379,17 @@ def _msf_vaes(cfg, posterior=None, with_flow=False, encoders=None):
     ]
 
 
-def _msf_scaling(cfg):
-    return ((3 * 32 * 32) / (28 * 28), 1.0, (3 * 32 * 32) / (28 * 28)) \
-        if cfg.llik_scaling == 0 else (cfg.llik_scaling, 1.0, cfg.llik_scaling)
+def _msf_scaling(cfg, family: str = "mvae"):
+    """Trimodal lik scalings differ per family in the reference:
+    mvae/msf.py:56   -> (r, 1, r) at llik==0, (llik, 1, llik) otherwise;
+    mmvae/mnist_svhn_fashion.py:52 -> (r, 1, r) at llik==0, (1, 1, 1) otherwise
+    with r = (3*32*32)/(28*28)."""
+    r = (3 * 32 * 32) / (28 * 28)
+    if cfg.llik_scaling == 0:
+        return (r, 1.0, r)
+    if family == "mmvae":
+        return (1.0, 1.0, 1.0)
+    return (cfg.llik_scaling, 1.0, cfg.llik_scaling)
 
 
 def mmvae_msf(cfg: ExperimentConfig) -> ModelBundle:
@@ -382,7 +397,7 @@ def mmvae_msf(cfg: ExperimentConfig) -> ModelBundle:
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses) if len(cfg.recon_losses) == 3
                      else ("normal",) * 3,
-                     lik_scaling=_msf_scaling(cfg))
+                     lik_scaling=_msf_scaling(cfg, "mmvae"))
     return ModelBundle(model, spec, "mnist_svhn_fashion",
                        ((1, 28, 28), (3, 32, 32), (1, 28, 28)),
                        "mmvae_msf", ("mnist", "svhn", "fashion"))
@@ -411,7 +426,8 @@ def jnf_msf(cfg: ExperimentConfig) -> ModelBundle:
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses) if len(cfg.recon_losses) == 3
                      else ("normal",) * 3,
-                     lik_scaling=_msf_scaling(cfg),
+                     # jmvae_nf/mnist_svhn_fashion.py:88: always (1, 1, 1)
+                     lik_scaling=(1.0, 1.0, 1.0),
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
     return ModelBundle(model, spec, "mnist_svhn_fashion",
                        ((1, 28, 28), (3, 32, 32), (1, 28, 28)),
@@ -447,10 +463,17 @@ def _medmnist_vaes(cfg, posterior=None, with_flow=False, encoders=None):
     ]
 
 
+def _medmnist_scaling(cfg):
+    """modalities/medmnist.py:31 (shared by every medmnist family):
+    (3, 1) at llik_scaling==0, else (1, 1)."""
+    return (3.0, 1.0) if cfg.llik_scaling == 0 else (1.0, 1.0)
+
+
 def mmvae_medmnist(cfg: ExperimentConfig) -> ModelBundle:
     model = MMVAE(vaes=_medmnist_vaes(cfg), posterior=cfg.dist)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(3.0, 1.0))
+                     recon_dists=tuple(cfg.recon_losses),
+                     lik_scaling=_medmnist_scaling(cfg))
     return ModelBundle(model, spec, "medmnist", ((1, 28, 28), (3, 28, 28)),
                        "mmvae_medmnist", ("pneumonia", "blood"))
 
@@ -474,16 +497,19 @@ def jnf_medmnist(cfg: ExperimentConfig) -> ModelBundle:
                      vaes=_medmnist_vaes(cfg, "normal", True, encoders),
                      posterior=cfg.dist, dcca_encoders=dcca)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0),
+                     recon_dists=tuple(cfg.recon_losses),
+                     lik_scaling=_medmnist_scaling(cfg),
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
     return ModelBundle(model, spec, "medmnist", ((1, 28, 28), (3, 28, 28)),
                        "jmvae_nf_medmnist", ("pneumonia", "blood"))
 
 
 def mvae_medmnist(cfg: ExperimentConfig) -> ModelBundle:
-    model = MVAE(vaes=_medmnist_vaes(cfg, "normal"), lik_scaling=(1.0, 1.0))
+    model = MVAE(vaes=_medmnist_vaes(cfg, "normal"),
+                 lik_scaling=_medmnist_scaling(cfg))
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior="normal",
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0))
+                     recon_dists=tuple(cfg.recon_losses),
+                     lik_scaling=_medmnist_scaling(cfg))
     return ModelBundle(model, spec, "medmnist", ((1, 28, 28), (3, 28, 28)),
                        "mvae_medmnist", ("pneumonia", "blood"))
 
@@ -509,22 +535,27 @@ def _celeba_vaes(cfg, posterior=None, with_flow=False, encoders=None):
 
 
 CELEBA_SHAPES = ((3, 64, 64), (1, 1, 40))
+_CELEBA_R = (3 * 64 * 64) / 40.0  # prod(img shape) / prod(attr shape)
 
 
 def mmvae_celeba(cfg: ExperimentConfig) -> ModelBundle:
     model = MMVAE(vaes=_celeba_vaes(cfg), posterior=cfg.dist)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses),
-                     lik_scaling=(40 / (3 * 64 * 64), 1.0) if cfg.llik_scaling == 0
+                     # mmvae_celeba.py:60: (1, prod(img)/prod(attr)) at
+                     # llik==0 — the ATTRIBUTE recon is up-weighted
+                     lik_scaling=(1.0, _CELEBA_R) if cfg.llik_scaling == 0
                      else (cfg.llik_scaling, 1.0))
     return ModelBundle(model, spec, "celeba", CELEBA_SHAPES,
                        "mmvae_celeba", ("celeba_img", "celeba_attr"))
 
 
 def jnf_celeba(cfg: ExperimentConfig) -> ModelBundle:
+    # jmvae_nf/celeba.py:62-64: hidden_dim 1024, 128-dim ResNet image head,
+    # 40-dim MLP attribute head
     joint = DoubleHeadJoint(
-        encoders=[celeba_encoder(20), MLPEncoder(latent_dim=20)],
-        latent_dim=cfg.latent_dim, hidden_dim=512,
+        encoders=[celeba_encoder(128), MLPEncoder(latent_dim=40)],
+        latent_dim=cfg.latent_dim, hidden_dim=1024,
         num_hidden_layers=cfg.num_hidden_layers, name="joint_encoder",
     )
     dcca, encoders = None, None
@@ -539,34 +570,44 @@ def jnf_celeba(cfg: ExperimentConfig) -> ModelBundle:
     model = JMVAE_NF(joint_encoder=joint,
                      vaes=_celeba_vaes(cfg, "normal", True, encoders),
                      posterior=cfg.dist, dcca_encoders=dcca)
+    # jmvae_nf/celeba.py:101: (prod(attr)/prod(img), 1) at llik==0
+    ls = (1.0 / _CELEBA_R, 1.0) if cfg.llik_scaling == 0 \
+        else (cfg.llik_scaling, 1.0)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 50.0),
+                     recon_dists=tuple(cfg.recon_losses), lik_scaling=ls,
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
     return ModelBundle(model, spec, "celeba", CELEBA_SHAPES,
                        "jmvae_nf_celeba", ("celeba_img", "celeba_attr"))
 
 
 def mvae_celeba(cfg: ExperimentConfig) -> ModelBundle:
-    model = MVAE(vaes=_celeba_vaes(cfg, "normal"), lik_scaling=(1.0, 1.0))
+    # mvae/celeba.py:47: (1, 50) — "settings mentioned in the paper"
+    ls = (1.0, 50.0) if cfg.llik_scaling == 0 else (1.0, cfg.llik_scaling)
+    model = MVAE(vaes=_celeba_vaes(cfg, "normal"), lik_scaling=ls)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior="normal",
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0))
+                     recon_dists=tuple(cfg.recon_losses), lik_scaling=ls)
     return ModelBundle(model, spec, "celeba", CELEBA_SHAPES,
                        "mvae_celeba", ("celeba_img", "celeba_attr"))
 
 
 def moepoe_celeba(cfg: ExperimentConfig) -> ModelBundle:
-    model = MOEPOE(vaes=_celeba_vaes(cfg, "normal"), lik_scaling=(1.0, 1.0),
+    # moepoe/celeba.py:60: (prod(attr)/prod(img), 1) at llik==0
+    ls = (1.0 / _CELEBA_R, 1.0) if cfg.llik_scaling == 0 \
+        else (1.0, cfg.llik_scaling)
+    model = MOEPOE(vaes=_celeba_vaes(cfg, "normal"), lik_scaling=ls,
                    recon_dists=tuple(cfg.recon_losses), beta_kl=cfg.beta_kl)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior="normal",
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0))
+                     recon_dists=tuple(cfg.recon_losses), lik_scaling=ls)
     return ModelBundle(model, spec, "celeba", CELEBA_SHAPES,
                        "moepoe_celeba", ("celeba_img", "celeba_attr"))
 
 
 def mmvae_nf_celeba(cfg: ExperimentConfig) -> ModelBundle:
     model = MMVAE_NF(vaes=_celeba_vaes(cfg, "normal", True))
+    # mmvae_nf/celeba.py:59: (1, prod(img)/prod(attr)) at llik==0
+    ls = (1.0, _CELEBA_R) if cfg.llik_scaling == 0 else (1.0, cfg.llik_scaling)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior="normal",
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0))
+                     recon_dists=tuple(cfg.recon_losses), lik_scaling=ls)
     return ModelBundle(model, spec, "celeba", CELEBA_SHAPES,
                        "mmvae_nf_celeba", ("celeba_img", "celeba_attr"))
 
@@ -591,8 +632,11 @@ def jnf_chest_svhn(cfg: ExperimentConfig) -> ModelBundle:
              posterior="normal", with_flow=True),
     ]
     model = JMVAE_NF(joint_encoder=joint, vaes=vaes, posterior=cfg.dist)
+    # modalities/chest_svhn.py:34: (3*32*32/(28*28), 1) at llik==0
+    ls = ((3 * 32 * 32) / (28 * 28), 1.0) if cfg.llik_scaling == 0 \
+        else (1.0, 1.0)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0),
+                     recon_dists=tuple(cfg.recon_losses), lik_scaling=ls,
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
     return ModelBundle(model, spec, "chest_svhn", ((1, 28, 28), (3, 32, 32)),
                        "jmvae_nf_chest_svhn", ("pneumonia", "svhn"))

@@ -60,6 +60,15 @@ def _apply(model, variables, key, method, *args, train=True, **kwargs):
     return out
 
 
+def _chain(variables, state):
+    """Thread mutated collections (batch_stats) from a previous _apply into
+    the next one, so BN running stats from EVERY forward pass of a
+    multi-pass objective survive (the torch reference updates them on each
+    train-mode forward). flax returns the FULL collection, so the latest
+    chained result replaces the previous state wholesale."""
+    return {**variables, **state} if state else variables
+
+
 def _flat_sum(a, lead_ndim):
     return jnp.sum(a.reshape(*a.shape[:lead_ndim], -1), axis=-1)
 
@@ -90,26 +99,36 @@ def recon_pointwise_loss(loss_name: str, recon, x):
 # ===========================================================================
 
 def elbo(model, variables, x, key, spec, K=1, beta_prior=1.0, train=True, **kw):
-    """E[ELBO] for a unimodal VAE (objectives.py:20-25)."""
-    out, state = _apply(model, variables, key, None, x)
+    """E[ELBO] for a unimodal VAE (objectives.py:20-25): mean over the K
+    sample axis, SUM over the batch (the reference's .mean(0).sum())."""
+    out, state = _apply(model, variables, key, None, x, K=K)
     qz = LocScale(out["mu"], out["std"])
-    lpx_z = recon_log_prob(spec.recon_dists[0], out["recon"], x, 2 if out["z"].ndim == 3 else 1)
+    has_k = out["z"].ndim == 3  # UnimodalVAE drops the sample axis at K=1
+    lpx_z = recon_log_prob(spec.recon_dists[0], out["recon"], x,
+                           2 if has_k else 1)
     lpx_z = lpx_z * spec.llik_scaling
     kld = jnp.sum(D.kl(spec.posterior, qz, prior(spec)), axis=-1)
-    obj = jnp.sum(jnp.mean(lpx_z - beta_prior * kld, axis=0))
-    return obj, {}, state
+    val = lpx_z - beta_prior * kld  # (K, B) or (B,)
+    if has_k:
+        val = jnp.mean(val, axis=0)
+    return jnp.sum(val), {}, state
 
 
 def _unimodal_lw(model, variables, x, key, spec, K, train, detach_post):
     out, state = _apply(model, variables, key, None, x, K=K)
     zs = out["z"]
+    has_k = zs.ndim == 3  # UnimodalVAE drops the sample axis at K=1
     mu, std = out["mu"], out["std"]
     if detach_post:
         mu, std = jax.lax.stop_gradient(mu), jax.lax.stop_gradient(std)
     lpz = jnp.sum(D.log_prob(spec.posterior, prior(spec), zs), axis=-1)
-    lpx_z = recon_log_prob(spec.recon_dists[0], out["recon"], x, 2) * spec.llik_scaling
+    lpx_z = recon_log_prob(spec.recon_dists[0], out["recon"], x,
+                           2 if has_k else 1) * spec.llik_scaling
     lqz_x = jnp.sum(D.log_prob(spec.posterior, LocScale(mu, std), zs), axis=-1)
-    return lpz + lpx_z - lqz_x, zs, state
+    lw = lpz + lpx_z - lqz_x
+    if not has_k:
+        lw = lw[None]  # restore the K=1 axis: log-weights are always (K, B)
+    return lw, zs, state
 
 
 def iwae(model, variables, x, key, spec, K=1, train=True, **kw):
@@ -388,9 +407,11 @@ def m_telbo_nf(model, variables, x, key, spec, K=1, epoch=1, warmup=0,
     details["kld_prior"] = _joint_kld_prior(mu, std)
     if past_warmup:
         for m in range(len(x)):
-            vout, _ = _apply(
-                model, variables, keys[m + 1], "vae_forward", x[m], m=m, train=train,
+            vout, st = _apply(
+                model, _chain(variables, state), keys[m + 1], "vae_forward",
+                x[m], m=m, train=train,
             )
+            state = st or state
             neg_elbo = _vae_neg_elbo(spec, m, vout, x[m]) * spec.lik_scaling[m]
             details[f"neg_elbo_{m}"] = neg_elbo
             loss = loss - neg_elbo
@@ -422,7 +443,9 @@ def m_jmvae(model, variables, x, key, spec, K=1, beta=0.0, epoch=1, warmup=0,
     out, state = _apply(model, variables, k1, None, x, train=train)
     mu, std = out["qz_xy"]
     recons = out["recons"]
-    uni, _ = _apply(model, variables, k2, "encode_all_unimodal", x, train=train)
+    uni, st2 = _apply(model, _chain(variables, state), k2,
+                      "encode_all_unimodal", x, train=train)
+    state = st2 or state
     loss = 0.0
     for m, xm in enumerate(x):
         lp = recon_log_prob(spec.recon_dists[m], recons[m], xm, 1)
@@ -453,8 +476,11 @@ def _m_vaevae(model, variables, x, key, spec, dist_fn, K, beta, epoch, warmup,
     details = {}
     losses = []
     qs = []
+    state = {}
     for m in range(2):
-        vout, _ = _apply(model, variables, keys[m], "vae_forward", x[m], m=m, train=train)
+        vout, st = _apply(model, _chain(variables, state), keys[m],
+                          "vae_forward", x[m], m=m, train=train)
+        state = st or state
         lpx = recon_log_prob(spec.recon_dists[m], vout["recon"], x[m], 1) * spec.llik_scaling
         kld = jnp.sum(
             D.kl(spec.posterior, LocScale(vout["mu"], vout["std"]), prior(spec)), axis=-1
@@ -476,7 +502,7 @@ def _m_vaevae(model, variables, x, key, spec, dist_fn, K, beta, epoch, warmup,
         )
     details.update(loss=losses[0] + losses[1], reg=reg, loss1=losses[0], loss2=losses[1])
     obj = losses[0] + losses[1] - (beta * reg if past_warmup else 0.0)
-    return obj, details, {}
+    return obj, details, state
 
 
 def m_vaevae_kl(model, variables, x, key, spec, K=1, beta=1000.0, epoch=1,
@@ -501,7 +527,9 @@ def m_svae(model, variables, x, key, spec, K=1, beta=0.0, train=True, **kw):
     loss, reg = 0.0, 0.0
     keys = jax.random.split(k2, len(x))
     for m, xm in enumerate(x):
-        vout, _ = _apply(model, variables, keys[m], "vae_forward", xm, m=m, train=train)
+        vout, st = _apply(model, _chain(variables, state), keys[m],
+                          "vae_forward", xm, m=m, train=train)
+        state = st or state
         q_m = LocScale(vout["mu"], vout["std"])
         loss = loss + jnp.mean(
             D.log_prob(spec.recon_dists[m], LocScale(vout["recon"], jnp.ones_like(vout["recon"])), xm)
@@ -519,7 +547,9 @@ def m_multi_elbos(model, variables, x, key, spec, K=1, train=True, **kw):
     k1, k2 = jax.random.split(key)
     out, state = _apply(model, variables, k1, None, x, train=train)
     mu, std = out["qz_xy"]
-    uniout, _ = _apply(model, variables, k2, "unimodal_cross_forward", x, train=train)
+    uniout, st2 = _apply(model, _chain(variables, state), k2,
+                         "unimodal_cross_forward", x, train=train)
+    state = st2 or state
     qz_xs, px_zs = uniout["qz_params"], uniout["recons"]
     loss = 0.0
     n = len(x)
@@ -544,7 +574,9 @@ def m_telbo(model, variables, x, key, spec, K=1, beta=0.0, epoch=1, warmup=0,
     k1, k2 = jax.random.split(key)
     out, state = _apply(model, variables, k1, None, x, train=train)
     mu, std = out["qz_xy"]
-    uniout, _ = _apply(model, variables, k2, "unimodal_cross_forward", x, train=train)
+    uniout, st2 = _apply(model, _chain(variables, state), k2,
+                         "unimodal_cross_forward", x, train=train)
+    state = st2 or state
     qz_xs, px_zs = uniout["qz_params"], uniout["recons"]
     details = {"mloss": 0.0}
     for m in range(len(x)):

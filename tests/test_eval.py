@@ -134,6 +134,11 @@ def test_conditional_likelihood_bis_moepoe():
         bundle.model, variables, xs, 0, 1, bundle.spec, key,
         K=20, batch_size_K=10)
     assert np.isfinite(m["conditional_likelihood_bis_0_1"])
+    # joint likelihood via the MoE-proposal estimator (the reference's own
+    # MOEPOE estimator is broken — moepoe.py:217-249 `1/0`)
+    j = ll.joint_likelihood_mmvae(bundle.model, variables, xs, bundle.spec,
+                                  key, K=20, batch_size_K=10)
+    assert np.isfinite(j["likelihood"])
 
 
 def test_conditional_likelihood_bis_jmvae_nf():

@@ -98,3 +98,34 @@ def test_dreg_updates_encoder_batch_stats():
         {k: v for k, v in bs["vaes_0"]["decoder"].items()})
     assert any(float(jnp.abs(m).max()) > 0 for m in enc_means), "encoder stats lost"
     assert any(float(jnp.abs(m).max()) > 0 for m in dec_means), "decoder stats lost"
+
+
+@pytest.mark.parametrize("obj", ["vaevae_kl", "telbo", "multi_elbos", "jmvae"])
+def test_multipass_objectives_update_batch_stats(obj):
+    """Regression: multi-pass objectives (joint forward + auxiliary
+    vae_forward/unimodal_cross_forward calls) must thread BN running stats
+    from EVERY pass — the torch reference updates them on each train-mode
+    forward. jnf_mnist_fashion's VAEs use BatchNorm conv nets."""
+    from mmvae_tpu.objectives import objectives as O
+
+    cfg = ExperimentConfig(
+        model="jnf_mnist_fashion", obj=obj, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=3, batch_size=4,
+        warmup=0, no_nf=True,
+    )
+    bundle = registry.build(cfg)
+    key = jax.random.PRNGKey(0)
+    xs = [jnp.asarray(np.random.rand(4, 1, 28, 28).astype(np.float32))
+          for _ in range(2)]
+    variables = bundle.model.init({"params": key, "sample": key}, xs, K=1,
+                                  method="init_all")
+    fn = O.OBJECTIVES["m_" + obj]
+    out = fn(bundle.model, variables, xs, key, bundle.spec, K=1, train=True,
+             past_warmup=True, epoch=1, warmup=0)
+    state = out[2]
+    assert "batch_stats" in state, f"{obj} returned no mutable state"
+    bs = state["batch_stats"]
+    for v in ("vaes_0", "vaes_1"):
+        means = jax.tree.leaves(bs[v]["encoder"])
+        assert any(float(jnp.abs(m).max()) > 0 for m in means), \
+            f"{obj}: {v} encoder BN stats not updated"
