@@ -464,8 +464,9 @@ def _medmnist_vaes(cfg, posterior=None, with_flow=False, encoders=None):
 
 
 def _medmnist_scaling(cfg):
-    """modalities/medmnist.py:31 (shared by every medmnist family):
-    (3, 1) at llik_scaling==0, else (1, 1)."""
+    """modalities/medmnist.py:31: (3, 1) at llik_scaling==0, else (1, 1).
+    Survives only for mmvae/mvae; the jnf family's JMVAE_NF.__init__ runs
+    after medmnist_utils.__init__ and overwrites it with (1, 1)."""
     return (3.0, 1.0) if cfg.llik_scaling == 0 else (1.0, 1.0)
 
 
@@ -498,7 +499,11 @@ def jnf_medmnist(cfg: ExperimentConfig) -> ModelBundle:
                      posterior=cfg.dist, dcca_encoders=dcca)
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
                      recon_dists=tuple(cfg.recon_losses),
-                     lik_scaling=_medmnist_scaling(cfg),
+                     # medmnist_utils sets (3,1) but JMVAE_NF.__init__ runs
+                     # AFTER it and overwrites to (1,1) (jmvae_nf.py:29,
+                     # jmvae_nf/medmnist.py:37-40) — the executed value is
+                     # (1,1); only mmvae/mvae keep the utils scaling.
+                     lik_scaling=(1.0, 1.0),
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
     return ModelBundle(model, spec, "medmnist", ((1, 28, 28), (3, 28, 28)),
                        "jmvae_nf_medmnist", ("pneumonia", "blood"))
@@ -632,11 +637,11 @@ def jnf_chest_svhn(cfg: ExperimentConfig) -> ModelBundle:
              posterior="normal", with_flow=True),
     ]
     model = JMVAE_NF(joint_encoder=joint, vaes=vaes, posterior=cfg.dist)
-    # modalities/chest_svhn.py:34: (3*32*32/(28*28), 1) at llik==0
-    ls = ((3 * 32 * 32) / (28 * 28), 1.0) if cfg.llik_scaling == 0 \
-        else (1.0, 1.0)
+    # chest_svhn_utils sets (3*32*32/(28*28), 1) but JMVAE_NF.__init__ runs
+    # AFTER it and overwrites to (1,1) (jmvae_nf.py:29, chest_svhn.py:41-44)
+    # — the executed value is (1,1).
     spec = ModelSpec(latent_dim=cfg.latent_dim, posterior=cfg.dist,
-                     recon_dists=tuple(cfg.recon_losses), lik_scaling=ls,
+                     recon_dists=tuple(cfg.recon_losses), lik_scaling=(1.0, 1.0),
                      no_recon=cfg.no_recon, linear_warmup=cfg.linear_warmup)
     return ModelBundle(model, spec, "chest_svhn", ((1, 28, 28), (3, 32, 32)),
                        "jmvae_nf_chest_svhn", ("pneumonia", "svhn"))
