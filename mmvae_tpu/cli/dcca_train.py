@@ -79,19 +79,33 @@ def main(argv=None):
         outs = infer([jnp.asarray(x) for x in xs])
         for v in range(n_views):
             feats[v].append(np.asarray(outs[v]))
-        labels.append(labs[0])
+        # celeba: the probe targets are the 40 attribute bits themselves
+        # (main_celeba.py / main_msf.py:46-52 fit one SVC per attribute);
+        # class-labelled datasets probe the class label
+        labels.append(np.asarray(xs[1]).reshape(len(xs[1]), -1)
+                      if info.dataset == "celeba" else labs[0])
     labels = np.concatenate(labels)
-    if labels.ndim > 1:  # celeba: probe the first attribute bit
-        labels = labels.reshape(len(labels), -1)[:, 0]
+    # celeba: one linear SVC PER attribute column, as in the validate
+    # probes (dcca/validate/main_celeba.py, main_msf.py:46-52); class-label
+    # datasets probe the single label
+    label_cols = (labels.reshape(len(labels), -1).T if labels.ndim > 1
+                  else labels[None])
     for v in range(n_views):
         h = np.concatenate(feats[v])
         if v < 2:  # LCCA is fit on the first two views (trimodal keeps raw
             # trunks, main_mnist_svhn_fashion.py:99,180)
             h = solver.lcca.transform(h, v)
         n = len(h) // 2
-        clf = LinearSVC().fit(h[:n], labels[:n])
-        acc = clf.score(h[n:], labels[n:])
-        print(f"SVM probe view {v}: acc {acc:.4f}")
+        accs = []
+        for ci, col in enumerate(label_cols):
+            if len(np.unique(col[:n])) < 2:
+                continue  # degenerate attribute in this split
+            clf = LinearSVC().fit(h[:n], col[:n])
+            accs.append(clf.score(h[n:], col[n:]))
+            if len(label_cols) > 1:
+                print(f"SVM probe view {v} attribute {ci}: "
+                      f"acc {accs[-1]:.4f}")
+        print(f"SVM probe view {v}: acc {float(np.mean(accs)):.4f}")
     return out_path
 
 

@@ -207,6 +207,17 @@ def main(argv=None):
     if len(gen) == 2:
         save_samples([np.asarray(g) for g in gen[:2]],
                      os.path.join(run_path, "generate_val.png"))
+        # Bayes-chained generation p(x)p(y|x) grids (validate.py:128,
+        # multi_vaes.py:105-126 gen_from_cond_{0,1})
+        from ..eval import generate_from_conditional
+
+        data, cond = generate_from_conditional(
+            bundle.model, variables, jax.random.fold_in(key, 7),
+            bundle.spec, N=32)
+        save_samples([np.asarray(data[0]), np.asarray(cond[0][1][0])],
+                     os.path.join(run_path, "gen_from_cond_0.png"))
+        save_samples([np.asarray(cond[1][0][0]), np.asarray(data[1])],
+                     os.path.join(run_path, "gen_from_cond_1.png"))
     if bundle.dataset == "circles_squares" and hasattr(bundle.model,
                                                        "joint_encoder"):
         # PoE visualisation (jmvae_nf_circles.py:138-214)

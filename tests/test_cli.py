@@ -66,6 +66,9 @@ def test_train_then_validate_full_test_set(smoke_run):
         assert k in summary
         assert 0.0 <= summary[k]["mean"] <= 1.0
     assert os.path.exists(os.path.join(run_path, "metrics.json"))
+    # Bayes-chained generation grids (validate.py:128 gen_from_cond_{0,1})
+    assert os.path.exists(os.path.join(run_path, "gen_from_cond_0.png"))
+    assert os.path.exists(os.path.join(run_path, "gen_from_cond_1.png"))
 
     # validate appends one tracking row per repeat (validate.py:153-154)
     with open(os.path.join(run_path, "metrics.jsonl")) as f:
