@@ -68,6 +68,11 @@ class ExperimentConfig:
     mesh_data: Optional[int] = None
     mesh_k: int = 1
 
+    # robustness (TPU-native addition): skip param/opt/BN updates on steps
+    # whose loss or grads are non-finite (observed on long MAF post-warmup
+    # runs, docs/BENCH_NOTES.md). Finite steps are bit-identical either way.
+    nan_guard: bool = True
+
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @classmethod

@@ -107,6 +107,8 @@ class Trainer:
             with precision.use(cdtype):
                 return _step(variables, opt_state, xs, key, lr, beta_kl, epoch)
 
+        guard = bool(getattr(self.cfg, "nan_guard", True))
+
         def _step(variables, opt_state, xs, key, lr, beta_kl, epoch):
             kwargs = dict(statics, past_warmup=past_warmup, beta_kl=beta_kl,
                           epoch=epoch, train=True)
@@ -125,11 +127,29 @@ class Trainer:
                     loss_fn, has_aux=True
                 )(variables["params"])
                 obj = -negobj
-            updates, opt_state = tx.update(grads, opt_state, variables["params"])
+            if guard:
+                # A single non-finite batch (MAF exp overflow, etc.) must not
+                # poison params, Adam moments, or BN stats: sanitize grads
+                # BEFORE tx.update (Adam would keep NaN moments forever), then
+                # select the old state wherever the step was bad. Finite steps
+                # are bit-identical to the unguarded path.
+                finite = jnp.isfinite(obj)
+                finite = jax.tree_util.tree_reduce(
+                    lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
+                    grads, finite)
+                grads = jax.tree.map(
+                    lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            updates, new_opt_state = tx.update(grads, opt_state, variables["params"])
             updates = jax.tree.map(lambda u: u * lr, updates)
             params = optax.apply_updates(variables["params"], updates)
+            if guard:
+                sel = lambda new, old: jnp.where(finite, new, old)
+                params = jax.tree.map(sel, params, variables["params"])
+                new_opt_state = jax.tree.map(sel, new_opt_state, opt_state)
+                new_state = jax.tree.map(
+                    sel, new_state, {k: variables[k] for k in new_state})
             variables = {**variables, "params": params, **new_state}
-            return variables, opt_state, -obj, details
+            return variables, new_opt_state, -obj, details
 
         return step
 

@@ -180,3 +180,39 @@ def test_checkpoint_save_and_resume(tmp_path):
     loss_again, _ = trainer.run_epoch(state3, val, key, 1e-3, 1.0,
                                       train=False, epoch=3)
     np.testing.assert_allclose(loss_after, loss_again, rtol=0, atol=0)
+
+
+def test_nan_guard_skips_poisoned_step(tmp_path):
+    """A batch whose loss/grads are non-finite must leave params, Adam
+    moments, and BN stats untouched (nan_guard, observed MAF divergence in
+    docs/QUALITY.md MedMNIST run); the next finite batch trains normally."""
+    cfg = ExperimentConfig(
+        model="circles_squares", obj="elbo", K=1, dist="normal",
+        recon_losses=("normal", "normal"), latent_dim=2, batch_size=32,
+        learning_rate=1e-3, epochs=1, warmup=0,
+    )
+    bundle = registry.build(cfg)
+    train, test, val = _loaders()
+    trainer = Trainer(bundle.model, bundle.spec, cfg)
+    key = jax.random.PRNGKey(0)
+    sample_xs, _ = next(iter(train))
+    variables = trainer.init_variables(sample_xs, key)
+    opt_state = trainer.init_opt_state(variables, past_warmup=False)
+    step = jax.jit(trainer._build_train_step(past_warmup=False))
+
+    bad_xs = [np.full_like(np.asarray(x), np.nan) for x in sample_xs]
+    v1, o1, loss1, _ = step(variables, opt_state, bad_xs, key,
+                            1e-3, 1.0, 1.0)
+    assert not np.isfinite(float(loss1))
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    v2, o2, loss2, _ = step(v1, o1, sample_xs, key, 1e-3, 1.0, 1.0)
+    assert np.isfinite(float(loss2))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(v1["params"]), jax.tree.leaves(v2["params"]))
+    )
+    assert changed
