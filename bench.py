@@ -338,6 +338,14 @@ def main():
         bf16 = flagship_cfg()
         bf16.extra["compute_dtype"] = "bfloat16"
         rows.append(measure_tpu(bf16, "mmvae-dreg-K30-bf16"))
+        # saturation probe: same model, B=512 bf16. At K=30 the effective
+        # batch is B*K, so B=128 already saturates the MXU; this row pins
+        # that raising B past the parity recipe does NOT buy throughput
+        # (measured: ~24k sps at B=512 vs ~30k at B=128, docs/BENCH_NOTES.md)
+        ceil = flagship_cfg()
+        ceil.batch_size = 512
+        ceil.extra["compute_dtype"] = "bfloat16"
+        rows.append(measure_tpu(ceil, "mmvae-dreg-K30-bf16-B512"))
         rows.append(measure_tpu(jnf_cfg(), "jnf-postwarmup-maf"))
         rows.append(measure_msf_epoch())
         with open(os.path.join(os.path.dirname(__file__),

@@ -62,9 +62,16 @@ def main(argv=None):
     print(f"GMM fitted on {len(latents)} train latents")
 
     gen = generate(model, variables, key, bundle.spec, N=info.n, sampler=sampler)
+    # save into the run dir AND the joint-encoder pool: the reference reads
+    # generated_modality_i from pretrained_joint_path (main.py:123-127),
+    # which for us is the pool dir the use_gen/skip_warmup retrain loads.
+    pool = os.path.join(info.experiments_dir, "joint_encoders",
+                        (cfg.experiment or "default").split("/")[-1])
+    os.makedirs(pool, exist_ok=True)
     for i, g in enumerate(gen):
-        np.save(os.path.join(run_path, f"generated_modality_{i}.npy"),
-                np.asarray(g))
+        arr = np.asarray(g)
+        np.save(os.path.join(run_path, f"generated_modality_{i}.npy"), arr)
+        np.save(os.path.join(pool, f"generated_modality_{i}.npy"), arr)
 
     classifiers = get_or_train_classifiers(bundle, loaders, info.experiments_dir, key)
     joint_acc = compute_joint_accuracy(classifiers, gen)

@@ -348,19 +348,27 @@ def chest_svhn(data_path: str = "../data", batch_size: int = 128,
     """CHEST_SVHN_DL (dataloaders.py:293-347): pneumonia x-rays paired with
     SVHN digits restricted to binary classes."""
     out = []
+    # Synthetic proto seeds are GLOBAL modality identities (pneumonia=10 as
+    # in medmnist_pairs, svhn=3 as in mnist_svhn): the reference pairs the
+    # same real PneumoniaMNIST/SVHN files everywhere, so the shared eval
+    # classifiers (cli/common.py pool) must see one distribution per name.
     for split, train_flag, seed in [("train", True, 0), ("test", False, 1), ("val", False, 2)]:
         c = sources.load_or_synthesize(
             lambda s=split: sources.load_medmnist(data_path, "pneumoniamnist", s),
-            (1, 28, 28), synthetic_n, 50 + seed, proto_seed=50)
+            (1, 28, 28), synthetic_n, 10 + seed, proto_seed=10)
         s_img, s_lab, _ = sources.load_or_synthesize(
             lambda t=train_flag: sources.load_svhn(data_path, t),
-            (3, 32, 32), synthetic_n, 60 + seed, proto_seed=60)
-        s_lab2 = (s_lab > 4).astype(np.int64)  # binarized digit classes
+            (3, 32, 32), synthetic_n, 3 + 2 * seed, proto_seed=3)
+        # make-chest-svhn.py:11-19 pairs on the pneumonia labels' unique
+        # set {0,1}: SVHN is RESTRICTED to digits 0 and 1 (true digit
+        # labels kept — the 10-class SVHN classifier scores them), not
+        # binarized.
         c_lab = c[1] % 2
-        i1, i2 = pairing.rand_match_on_idx([c_lab, s_lab2], max_d=10000, dm=3, seed=seed)
+        s_lab = s_lab.astype(np.int64) % 10
+        i1, i2 = pairing.rand_match_on_idx([c_lab, s_lab], max_d=10000, dm=3, seed=seed)
         sh = np.random.default_rng(seed + 70).permutation(len(i1))
         i1, i2 = i1[sh], i2[sh]
-        out.append(PairedDataset([c[0][i1], s_img[i2]], [c_lab[i1], s_lab2[i2]]))
+        out.append(PairedDataset([c[0][i1], s_img[i2]], [c_lab[i1], s_lab[i2]]))
     train, test, val = out
     return _loaders(train, test, val, batch_size, shuffle)
 

@@ -148,6 +148,10 @@ class Trainer:
                 new_opt_state = jax.tree.map(sel, new_opt_state, opt_state)
                 new_state = jax.tree.map(
                     sel, new_state, {k: variables[k] for k in new_state})
+                # per-epoch mean of this detail = fraction of skipped steps;
+                # surfaces silent freezes in the epoch log
+                details = {**details,
+                           "nan_skipped": 1.0 - finite.astype(jnp.float32)}
             variables = {**variables, "params": params, **new_state}
             return variables, new_opt_state, -obj, details
 
@@ -471,6 +475,10 @@ class Trainer:
                 f"====> Epoch {epoch:03d} train {tr_loss:.4f} val {va_loss:.4f} "
                 f"({time.time() - t0:.1f}s, lr {plateau.lr:g})"
             )
+            skipped = float(np.asarray(tr_details.get("nan_skipped", 0.0)))
+            if skipped > 0:
+                self.log(f"====> Epoch {epoch:03d} WARNING: nan_guard skipped "
+                         f"{skipped:.1%} of train steps")
             for cb in callbacks or []:
                 cb(self, state, epoch, tr_details, va_details,
                    tr_loss=tr_loss, va_loss=va_loss, lr=plateau.lr)

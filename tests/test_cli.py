@@ -121,9 +121,17 @@ def test_generate_joint_cli(smoke_run):
     joint_acc = gen_main(["--run-path", run_path,
                           "--experiments-dir", exp_dir, "--n", "64"])
     assert 0.0 <= joint_acc <= 1.0
+    import json
+    with open(os.path.join(run_path, "args.json")) as f:
+        exp_tail = json.load(f)["experiment"].split("/")[-1]
+    pool = os.path.join(exp_dir, "joint_encoders", exp_tail)
     for i in range(2):
         p = os.path.join(run_path, f"generated_modality_{i}.npy")
         assert os.path.exists(p)
+        # published into the joint pool too — where the use_gen retrain
+        # reads them (main.py:123-127 pretrained_joint_path semantics)
+        assert os.path.exists(
+            os.path.join(pool, f"generated_modality_{i}.npy"))
 
 
 def test_compute_likelihoods_cli(smoke_run):

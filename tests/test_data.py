@@ -134,3 +134,17 @@ def test_synthetic_splits_share_class_prototypes():
                 assert d_same < 0.5 * d_diff, (
                     f"{name} modality {m} class {c}: train/test prototype "
                     f"distance {d_same:.3f} vs cross-class {d_diff:.3f}")
+
+
+def test_chest_svhn_restricts_svhn_to_binary_digits():
+    """make-chest-svhn.py:11-19: pairing iterates the pneumonia labels'
+    unique set {0,1}, so the paired SVHN subset contains ONLY digits 0/1
+    with their TRUE digit labels (the 10-class classifier scores them) —
+    not a >4 binarization."""
+    train, test, val = get_dataloaders("chest_svhn", batch_size=32,
+                                       synthetic_n=512)
+    ds = train.dataset
+    c_lab, s_lab = ds.labels
+    assert set(np.unique(c_lab)) <= {0, 1}
+    assert set(np.unique(s_lab)) <= {0, 1}
+    np.testing.assert_array_equal(c_lab, s_lab)  # class-matched pairs
