@@ -39,6 +39,11 @@ def reload_model(run_path: str, batch_size: Optional[int] = None):
 
     sig = inspect.signature(DATASETS[bundle.dataset]).parameters
     extra = {k: v for k, v in cfg.extra.items() if k in sig}
+    # len_train is a first-class config field; the reference re-reads it
+    # from the run's params on reload (jmvae_nf_mnist_svhn_dcca.py:104-106)
+    # so eval/GMM stages see the SAME train subset the model trained on
+    if cfg.len_train and "len_train" in sig:
+        extra["len_train"] = cfg.len_train
     bs = batch_size or cfg.batch_size
     loaders = get_dataloaders(bundle.dataset, batch_size=bs,
                               data_path=cfg.data_path, **extra)

@@ -72,6 +72,11 @@ def load_joint_vae(variables: Dict[str, Any], pool_path: str):
     """skip_warmup warm start (utils.py:84-90): load joint encoder and
     decoders from the pool into a fresh variables tree."""
     params = dict(variables["params"])
+    # models without a joint encoder (MMVAE/MVAE families) have nothing to
+    # warm-start from the pool — treat like a missing pool so skip_warmup
+    # falls back to training from scratch (use_gen data append still applies)
+    if "joint_encoder" not in params:
+        raise FileNotFoundError(f"no joint encoder in model for pool {pool_path}")
     params["joint_encoder"] = load_bytes(
         params["joint_encoder"], os.path.join(pool_path, "model_joint_encoder.msgpack")
     )

@@ -190,3 +190,44 @@ def test_plot_results_cli(smoke_run, tmp_path):
     out2 = str(tmp_path / "losses.png")
     plot_main(["--runs", run_path, "--losses", "--out", out2])
     assert os.path.getsize(out2) > 0
+
+
+def test_use_gen_pipeline_len_train_reload(tmp_path):
+    """The ms_small data-augmentation pipeline (ms_small/jmvae_nf_gen.json):
+    stage-1 train on a len_train subset, generate_joint fits its GMM on the
+    SAME subset on reload (jmvae_nf_mnist_svhn_dcca.py:104-106 re-reads
+    params.len_train), stage-2 use_gen appends len_gen generated pairs."""
+    from mmvae_tpu.cli.common import reload_model
+    from mmvae_tpu.cli.generate_joint import main as gen_main
+    from mmvae_tpu.cli.train import main as train_main
+
+    cfg = dict(SMOKE_CFG)
+    cfg.pop("dataset_size"); cfg.pop("n_repeat")
+    cfg.update({
+        "experiment": "mmvae/ms_small_smoke", "model": "mnist_svhn",
+        "obj": "elbo", "dist": "laplace",
+        "recon_losses": ["laplace", "laplace"], "llik_scaling": 0.0,
+        "epochs": 1, "latent_dim": 4, "synthetic_n": 256,
+        "len_train": 100, "use_gen": True, "len_gen": 24,
+    })
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    exp_dir = str(tmp_path / "exp")
+    run_path = train_main(["--config-path", str(cfg_path),
+                           "--experiments-dir", exp_dir])
+
+    # reload_model forwards the first-class len_train field to the loader:
+    # the val split carves 1/10, so the reloaded train subset is 90 pairs
+    _, _, _, loaders = reload_model(run_path)
+    assert len(loaders[0].dataset) == 90
+
+    gen_main(["--run-path", run_path, "--experiments-dir", exp_dir,
+              "--n", "24", "--platform", "cpu"])
+
+    # stage 2: skip_warmup + use_gen appends len_gen pairs to the subset
+    cfg["skip_warmup"] = True
+    cfg_path.write_text(json.dumps(cfg))
+    run2 = train_main(["--config-path", str(cfg_path),
+                       "--experiments-dir", exp_dir])
+    with open(os.path.join(run2, "args.json")) as f:
+        assert json.load(f)["use_gen"] is True
