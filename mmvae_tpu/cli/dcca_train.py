@@ -106,6 +106,18 @@ def main(argv=None):
                 print(f"SVM probe view {v} attribute {ci}: "
                       f"acc {accs[-1]:.4f}")
         print(f"SVM probe view {v}: acc {float(np.mean(accs)):.4f}")
+
+    # embedding scatter per view, as the reference mains save next to the
+    # encoders (main_mnist_svhn.py:219-221 visualize_umap -> embedding_*.png)
+    from ..vis import visualize_umap
+
+    plot_classes = (None if labels.ndim > 1 else labels)
+    n_plot = 300  # scatter needs no more; bounds TSNE cost on the 1-core host
+    for v in range(n_views):
+        h = np.concatenate(feats[v])[:n_plot]
+        visualize_umap(h, None if plot_classes is None else plot_classes[:n_plot],
+                       save_file=os.path.join(info.out, info.dataset,
+                                              f"embedding_{v}.png"))
     return out_path
 
 

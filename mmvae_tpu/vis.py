@@ -2,8 +2,8 @@
 
 save_image/save_samples grids (vis.py:194-204), embedding scatter plots
 (vis.py:38-101), radius histograms (vis.py:178-192). Latent reduction uses
-PCA (sklearn) in place of the reference's UMAP dependency — documented
-deviation (umap-learn is not in the TPU image)."""
+the in-repo UMAP (`embed.py` — umap-learn is not in the TPU image);
+visualize_umap mirrors dcca/utils.py:113-122 (sklearn TSNE)."""
 
 from __future__ import annotations
 
@@ -66,15 +66,49 @@ def save_samples(data: Sequence[np.ndarray], path: str, nrow: int = 8):
     save_image(np.concatenate([a, b]), path, nrow=nrow)
 
 
-def reduce_latents(z: np.ndarray, dim: int = 2) -> np.ndarray:
-    """2-D embedding for latent scatter plots. PCA stand-in for UMAP
-    (multi_vaes.py:143-146)."""
-    from sklearn.decomposition import PCA
-
+def reduce_latents(z: np.ndarray, dim: int = 2, method: str = "umap") -> np.ndarray:
+    """2-D embedding for latent scatter plots (multi_vaes.py:143-146, where
+    the reducer is umap.UMAP). Default is the in-repo UMAP (`embed.py`,
+    no umap-learn dependency); method="pca" keeps the fast linear option."""
     z = np.asarray(z)
     if z.shape[1] <= dim:
         return z
-    return PCA(n_components=dim).fit_transform(z)
+    if method == "pca":
+        from sklearn.decomposition import PCA
+
+        return PCA(n_components=dim).fit_transform(z)
+    from .embed import UMAP
+
+    return UMAP(n_components=dim).fit_transform(z)
+
+
+def visualize_umap(z, classes, save_file: Optional[str] = None):
+    """DCCA-embedding scatter (dcca/utils.py:113-122 — which, despite the
+    name, reduces with sklearn TSNE; reproduced exactly, with the in-repo
+    UMAP as fallback)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    z = np.asarray(z).reshape(len(z), -1)
+    try:
+        from sklearn.manifold import TSNE
+
+        z_embed = TSNE(perplexity=min(30.0, max(1.0, len(z) - 1.0))
+                       ).fit_transform(z) if z.shape[1] > 2 else z
+    except Exception:
+        from .embed import UMAP
+
+        z_embed = UMAP().fit_transform(z) if z.shape[1] > 2 else z
+    fig = plt.figure()
+    plt.scatter(z_embed[:, 0], z_embed[:, 1],
+                c=np.asarray(classes) if classes is not None else None,
+                s=6, cmap="tab10")
+    if save_file is not None:
+        fig.savefig(save_file, dpi=100)
+    plt.close(fig)
+    return z_embed
 
 
 def plot_embeddings_colorbars(zxy, zx, classes0, classes1, path: str):

@@ -1,0 +1,55 @@
+"""UMAP/TSNE embedding tests (reference: multi_vaes.py:143-146 reducer(),
+dcca/utils.py:113-122 visualize_umap)."""
+
+import numpy as np
+
+from mmvae_tpu.embed import UMAP
+from mmvae_tpu.vis import reduce_latents, visualize_umap
+
+
+def _blobs(n_per=60, d=10, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(0.0, 0.3, (n_per, d)) + np.r_[np.ones(d // 2) * 4,
+                                                 np.zeros(d - d // 2)]
+    b = rng.normal(0.0, 0.3, (n_per, d))
+    return np.concatenate([a, b]).astype(np.float32), np.r_[
+        np.zeros(n_per, np.int32), np.ones(n_per, np.int32)]
+
+
+def test_umap_separates_blobs():
+    x, y = _blobs()
+    emb = UMAP(n_neighbors=10, n_epochs=100).fit_transform(x)
+    assert emb.shape == (len(x), 2)
+    assert np.isfinite(emb).all()
+    ca, cb = emb[y == 0].mean(0), emb[y == 1].mean(0)
+    between = np.linalg.norm(ca - cb)
+    within = max(np.linalg.norm(emb[y == 0] - ca, axis=1).mean(),
+                 np.linalg.norm(emb[y == 1] - cb, axis=1).mean())
+    # clusters stay separated: centroid gap dominates within-cluster spread
+    assert between > 2.0 * within, (between, within)
+
+
+def test_umap_preserves_neighbours():
+    """Most 5-NN of each point in the embedding share its blob label."""
+    x, y = _blobs(n_per=50)
+    emb = UMAP(n_neighbors=10, n_epochs=100).fit_transform(x)
+    d2 = ((emb[:, None] - emb[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nn = np.argsort(d2, axis=1)[:, :5]
+    same = (y[nn] == y[:, None]).mean()
+    assert same > 0.9, same
+
+
+def test_reduce_latents_paths():
+    x, _ = _blobs(n_per=20, d=6)
+    assert reduce_latents(x, method="pca").shape == (len(x), 2)
+    assert reduce_latents(x, method="umap").shape == (len(x), 2)
+    low = np.zeros((8, 2), np.float32)
+    assert reduce_latents(low) is low  # <=2-D passes through
+
+
+def test_visualize_umap_writes_png(tmp_path):
+    x, y = _blobs(n_per=30, d=8)
+    out = tmp_path / "embedding_0.png"
+    emb = visualize_umap(x, y, save_file=str(out))
+    assert out.exists() and emb.shape == (len(x), 2)
