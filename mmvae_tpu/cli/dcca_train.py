@@ -114,8 +114,16 @@ def main(argv=None):
     plot_classes = (None if labels.ndim > 1 else labels)
     n_plot = 300  # scatter needs no more; bounds TSNE cost on the 1-core host
     for v in range(n_views):
-        h = np.concatenate(feats[v])[:n_plot]
-        visualize_umap(h, None if plot_classes is None else plot_classes[:n_plot],
+        h = np.concatenate(feats[v])
+        if v < 2:
+            # the reference plots solver.test(use_linear_cca=True) outputs
+            # (main_mnist_svhn.py:218-221): LCCA-projected, not raw trunks
+            h = solver.lcca.transform(h, v)
+        # seeded random subsample — a class-ordered test loader would
+        # otherwise show only the head classes
+        sel = np.random.default_rng(0).permutation(len(h))[:n_plot]
+        visualize_umap(h[sel],
+                       None if plot_classes is None else plot_classes[sel],
                        save_file=os.path.join(info.out, info.dataset,
                                               f"embedding_{v}.png"))
     return out_path

@@ -32,8 +32,20 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=500,
                         help="eval batch size (validate.py:79 uses 500)")
     parser.add_argument("--skip-fid", action="store_true")
+    parser.add_argument("--fid-batches", type=int, default=0,
+                        help="cap FID on the first N test batches; 0 = the "
+                        "full test loader (the reference protocol, "
+                        "modalities/mnist_svhn.py:26-33)")
     parser.add_argument("--fid-weights", type=str, default="",
-                        help="path to pytorch-fid inception weights (.pt)")
+                        help="path to the pytorch-fid inception weights "
+                        "(pt_inception-2015-12-05-6726825d.pth); verified "
+                        "against the published sha256 before use")
+    parser.add_argument("--prd", action="store_true",
+                        help="also emit per-direction PRD f8/f1_8 from the "
+                        "FID activations (prd_score.py:139)")
+    parser.add_argument("--mcmc-steps", type=int, default=100,
+                        help="HMC chain length for trimodal PoE-subset "
+                        "metrics (reference default 100, jmvae_nf.py:332)")
     parser.add_argument("--platform", type=str, default=None)
     info = parser.parse_args(argv)
     if info.platform:
@@ -103,7 +115,8 @@ def main(argv=None):
                     metrics.update(poe_subset_accuracy(
                         bundle.model, variables, classifiers, xs0,
                         [np.asarray(l) for l in labs0], kr, bundle.spec,
-                        n_data=min(32, len(xs0[0])), ns=8, mcmc_steps=20))
+                        n_data=min(32, len(xs0[0])), ns=8,
+                        mcmc_steps=info.mcmc_steps))
                 except Exception as e:
                     print(f"[poe_subset_accuracy] skipped: {e}")
             if bundle.dataset == "circles_squares":
@@ -115,10 +128,10 @@ def main(argv=None):
                     run_path=run_path if r == 0 else None,
                     n=min(100, info.ns * 10), n_data=min(100, len(xs0[0]))))
             if not info.skip_fid:
-                metrics.update(cross_modal_fid(bundle.model, variables,
-                                               test_l, bundle.spec, kr,
-                                               encoder_fn, n_batches=4,
-                                               verbose=(r == 0)))
+                metrics.update(cross_modal_fid(
+                    bundle.model, variables, test_l, bundle.spec, kr,
+                    encoder_fn, n_batches=info.fid_batches or None,
+                    verbose=(r == 0), compute_prd=info.prd))
             all_metrics.append(metrics)
             print(f"repeat {r}: {metrics}")
             continue
@@ -155,7 +168,8 @@ def main(argv=None):
                     metrics.update(poe_subset_accuracy(
                         bundle.model, variables, classifiers, xs,
                         [np.asarray(l) for l in labs], kb, bundle.spec,
-                        n_data=min(32, len(xs[0])), ns=8, mcmc_steps=20))
+                        n_data=min(32, len(xs[0])), ns=8,
+                        mcmc_steps=info.mcmc_steps))
                 except Exception as e:
                     print(f"[poe_subset_accuracy] skipped: {e}")
             if bundle.dataset == "circles_squares" and bi == 0:
@@ -177,9 +191,10 @@ def main(argv=None):
             for k, vw in batch_metrics.items()
         }
         if not info.skip_fid:
-            metrics.update(cross_modal_fid(bundle.model, variables, test_l,
-                                           bundle.spec, kr, encoder_fn,
-                                           n_batches=4, verbose=(r == 0)))
+            metrics.update(cross_modal_fid(
+                bundle.model, variables, test_l, bundle.spec, kr,
+                encoder_fn, n_batches=info.fid_batches or None,
+                verbose=(r == 0), compute_prd=info.prd))
         all_metrics.append(metrics)
         print(f"repeat {r}: {metrics}")
 

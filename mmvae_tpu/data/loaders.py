@@ -216,21 +216,22 @@ def _paired_from_sources(mods_train, mods_test, max_d, dm, len_train, batch_size
 
 
 def mnist_svhn(data_path: str = "../data", batch_size: int = 128, shuffle: bool = True,
-               len_train: Optional[int] = None, synthetic_n: int = 4096):
+               len_train: Optional[int] = None, synthetic_n: int = 4096,
+               difficulty: float = 0.0):
     """MNIST_SVHN_DL (dataloaders.py:239-290). Uses raw files when present,
     synthetic class-structured stand-ins otherwise."""
     m_tr = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n,
-        1, proto_seed=1)
+        1, proto_seed=1, difficulty=difficulty)
     m_te = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, False), (1, 28, 28),
-        synthetic_n // 4, 2, proto_seed=1)
+        synthetic_n // 4, 2, proto_seed=1, difficulty=difficulty)
     s_tr = sources.load_or_synthesize(
         lambda: sources.load_svhn(data_path, True), (3, 32, 32), synthetic_n,
-        3, proto_seed=3)
+        3, proto_seed=3, difficulty=difficulty)
     s_te = sources.load_or_synthesize(
         lambda: sources.load_svhn(data_path, False), (3, 32, 32),
-        synthetic_n // 4, 4, proto_seed=3)
+        synthetic_n // 4, 4, proto_seed=3, difficulty=difficulty)
     return _paired_from_sources(
         [m_tr[:2], s_tr[:2]], [m_te[:2], s_te[:2]],
         max_d=10000, dm=5, len_train=len_train,
@@ -239,21 +240,21 @@ def mnist_svhn(data_path: str = "../data", batch_size: int = 128, shuffle: bool 
 
 
 def mnist_fashion(data_path: str = "../data", batch_size: int = 128, shuffle: bool = True,
-                  synthetic_n: int = 4096):
+                  synthetic_n: int = 4096, difficulty: float = 0.0):
     """MNIST_FASHION_DL with the unbalanced correspondence pairing
     (bin/make-mnist-fashion.py:10-11)."""
     m_tr = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n,
-        1, proto_seed=1)
+        1, proto_seed=1, difficulty=difficulty)
     m_te = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, False), (1, 28, 28),
-        synthetic_n // 4, 2, proto_seed=1)
+        synthetic_n // 4, 2, proto_seed=1, difficulty=difficulty)
     f_tr = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, True, fashion=True), (1, 28, 28),
-        synthetic_n, 5, proto_seed=5)
+        synthetic_n, 5, proto_seed=5, difficulty=difficulty)
     f_te = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, False, fashion=True), (1, 28, 28),
-        synthetic_n // 4, 6, proto_seed=5)
+        synthetic_n // 4, 6, proto_seed=5, difficulty=difficulty)
 
     def build(m, f, seed):
         # correspondence covers mnist classes 0-2 only
@@ -270,7 +271,8 @@ def mnist_fashion(data_path: str = "../data", batch_size: int = 128, shuffle: bo
 
 
 def mnist_svhn_fashion(data_path: str = "../data", batch_size: int = 128,
-                       shuffle: bool = True, synthetic_n: int = 4096):
+                       shuffle: bool = True, synthetic_n: int = 4096,
+                       difficulty: float = 0.0):
     """Trimodal MNIST-SVHN-Fashion (dataloaders.py:510-569,
     bin/make_trimodal.py)."""
     mods_tr, mods_te = [], []
@@ -283,25 +285,30 @@ def mnist_svhn_fashion(data_path: str = "../data", batch_size: int = 128,
          lambda: sources.load_mnist(data_path, False, fashion=True), 5),
     ]:
         mods_tr.append(sources.load_or_synthesize(
-            fn_tr, shape, synthetic_n, seed, proto_seed=seed)[:2])
+            fn_tr, shape, synthetic_n, seed, proto_seed=seed,
+            difficulty=difficulty)[:2])
         mods_te.append(sources.load_or_synthesize(
-            fn_te, shape, synthetic_n // 4, seed + 1, proto_seed=seed)[:2])
+            fn_te, shape, synthetic_n // 4, seed + 1, proto_seed=seed,
+            difficulty=difficulty)[:2])
     return _paired_from_sources(mods_tr, mods_te, max_d=10000, dm=5, len_train=None,
                                 batch_size=batch_size, shuffle=shuffle)
 
 
 def medmnist_pairs(data_path: str = "../data", batch_size: int = 128,
-                   shuffle: bool = True, synthetic_n: int = 2048):
+                   shuffle: bool = True, synthetic_n: int = 2048,
+                   difficulty: float = 0.0):
     """Pneumonia<->Blood MedMNIST pairing with the class remap 1->0, 6->1
     (bin/make-medmnist-pairs.py:37-43, MEDMNIST_DL dataloaders.py:573-637)."""
     out = []
     for split, seed in [("train", 0), ("test", 1), ("val", 2)]:
         p = sources.load_or_synthesize(
             lambda s=split: sources.load_medmnist(data_path, "pneumoniamnist", s),
-            (1, 28, 28), synthetic_n, 10 + seed, proto_seed=10)
+            (1, 28, 28), synthetic_n, 10 + seed, proto_seed=10,
+            difficulty=difficulty)
         b_img, b_lab, real = sources.load_or_synthesize(
             lambda s=split: sources.load_medmnist(data_path, "bloodmnist", s),
-            (3, 28, 28), synthetic_n, 20 + seed, proto_seed=20)
+            (3, 28, 28), synthetic_n, 20 + seed, proto_seed=20,
+            difficulty=difficulty)
         if real:
             keep, new_lab = pairing.remap_medmnist_blood_labels(b_lab)
             b_img, b_lab = b_img[keep], new_lab
@@ -317,7 +324,7 @@ def medmnist_pairs(data_path: str = "../data", batch_size: int = 128,
 
 
 def celeba(data_path: str = "../data", batch_size: int = 128, shuffle: bool = True,
-           synthetic_n: int = 2048):
+           synthetic_n: int = 2048, difficulty: float = 0.0):
     """CelebA image <-> 40-attribute pairs (datasets.py:269-428: the
     attribute vector is itself a modality, returned as a 1x1x40 tensor).
     Real data requires the 64x64 crops + attr file under data_path/celeba;
@@ -330,12 +337,18 @@ def celeba(data_path: str = "../data", batch_size: int = 128, shuffle: bool = Tr
             imgs = npz["images"].astype(np.float32) / 255.0
             attrs = npz["attrs"].astype(np.float32)
         except (FileNotFoundError, OSError):
-            d = synthetic.synthetic_labeled_images(
-                synthetic_n if split == "train" else synthetic_n // 4,
-                (3, 64, 64), n_classes=2, seed=seed, proto_seed=30)
-            imgs = d["images"]
-            attrs = (rng.uniform(size=(len(imgs), 40)) < 0.3).astype(np.float32)
-            attrs[:, 20] = d["labels"]  # one informative attribute
+            try:  # torchvision-layout raw files (datasets.py:348-393)
+                imgs, attrs = sources.load_celeba(data_path, split)
+            except (FileNotFoundError, OSError, KeyError):
+                if sources.require_real():
+                    raise
+                d = synthetic.synthetic_labeled_images(
+                    synthetic_n if split == "train" else synthetic_n // 4,
+                    (3, 64, 64), n_classes=2, seed=seed, proto_seed=30,
+                    difficulty=difficulty)
+                imgs = d["images"]
+                attrs = (rng.uniform(size=(len(imgs), 40)) < 0.3).astype(np.float32)
+                attrs[:, 20] = d["labels"]  # one informative attribute
         labels = attrs[:, 20].astype(np.int64)  # male attr used as the label
         return PairedDataset([imgs, attrs.reshape(-1, 1, 1, 40)], [labels, labels])
 
@@ -344,7 +357,8 @@ def celeba(data_path: str = "../data", batch_size: int = 128, shuffle: bool = Tr
 
 
 def chest_svhn(data_path: str = "../data", batch_size: int = 128,
-               shuffle: bool = True, synthetic_n: int = 2048):
+               shuffle: bool = True, synthetic_n: int = 2048,
+               difficulty: float = 0.0):
     """CHEST_SVHN_DL (dataloaders.py:293-347): pneumonia x-rays paired with
     SVHN digits restricted to binary classes."""
     out = []
@@ -355,10 +369,12 @@ def chest_svhn(data_path: str = "../data", batch_size: int = 128,
     for split, train_flag, seed in [("train", True, 0), ("test", False, 1), ("val", False, 2)]:
         c = sources.load_or_synthesize(
             lambda s=split: sources.load_medmnist(data_path, "pneumoniamnist", s),
-            (1, 28, 28), synthetic_n, 10 + seed, proto_seed=10)
+            (1, 28, 28), synthetic_n, 10 + seed, proto_seed=10,
+            difficulty=difficulty)
         s_img, s_lab, _ = sources.load_or_synthesize(
             lambda t=train_flag: sources.load_svhn(data_path, t),
-            (3, 32, 32), synthetic_n, 3 + 2 * seed, proto_seed=3)
+            (3, 32, 32), synthetic_n, 3 + 2 * seed, proto_seed=3,
+            difficulty=difficulty)
         # make-chest-svhn.py:11-19 pairs on the pneumonia labels' unique
         # set {0,1}: SVHN is RESTRICTED to digits 0 and 1 (true digit
         # labels kept — the 10-class SVHN classifier scores them), not
@@ -374,7 +390,8 @@ def chest_svhn(data_path: str = "../data", batch_size: int = 128,
 
 
 def mnist_contour(data_path: str = "../data", batch_size: int = 128,
-                  shuffle: bool = True, synthetic_n: int = 2048):
+                  shuffle: bool = True, synthetic_n: int = 2048,
+                  difficulty: float = 0.0):
     """MNIST_CONTOUR_DL (dataloaders.py:445-479): each image paired with its
     Canny contour (data_utils/transforms.py:6-21)."""
     from .transforms import canny_contour
@@ -382,7 +399,8 @@ def mnist_contour(data_path: str = "../data", batch_size: int = 128,
     def build(train, seed):
         img, lab, _ = sources.load_or_synthesize(
             lambda: sources.load_mnist(data_path, train), (1, 28, 28),
-            synthetic_n if train else synthetic_n // 4, seed, proto_seed=1)
+            synthetic_n if train else synthetic_n // 4, seed, proto_seed=1,
+            difficulty=difficulty)
         return PairedDataset([img, canny_contour(img)], [lab, lab])
 
     train_full = build(True, 1)
@@ -395,13 +413,13 @@ def mnist_contour(data_path: str = "../data", batch_size: int = 128,
 
 def binary_mnist_svhn(data_path: str = "../data", batch_size: int = 128,
                       shuffle: bool = True, len_train: Optional[int] = None,
-                      synthetic_n: int = 4096):
+                      synthetic_n: int = 4096, difficulty: float = 0.0):
     """BINARY_MNIST_SVHN_DL (dataloaders.py:349-393): MNIST binarized at 0.5
     (transforms.py:32-37), same index pairing as mnist_svhn."""
     from .transforms import binarize
 
     train, test, val = mnist_svhn(data_path, batch_size, shuffle, len_train,
-                                  synthetic_n)
+                                  synthetic_n, difficulty)
     for loader in (train, test, val):
         m = loader.dataset.modalities[0]
         if isinstance(m, LazyGather):
@@ -414,7 +432,7 @@ def binary_mnist_svhn(data_path: str = "../data", batch_size: int = 128,
 
 def mnist_oasis(data_path: str = "../data", batch_size: int = 128,
                 shuffle: bool = True, synthetic_n: int = 2048,
-                oasis_dim: int = 2000):
+                oasis_dim: int = 2000, difficulty: float = 0.0):
     """MNIST_OASIS_DL (dataloaders.py:395-442): MNIST digits paired with
     flat OASIS MRI feature vectors (binary dementia classes). Real OASIS
     data is access-restricted; synthetic stand-ins keep the pipeline
@@ -428,7 +446,8 @@ def mnist_oasis(data_path: str = "../data", batch_size: int = 128,
     def build(train, seed):
         img, lab, _ = sources.load_or_synthesize(
             lambda: sources.load_mnist(data_path, train), (1, 28, 28),
-            synthetic_n if train else synthetic_n // 4, seed, proto_seed=1)
+            synthetic_n if train else synthetic_n // 4, seed, proto_seed=1,
+            difficulty=difficulty)
         lab2 = (lab % 2).astype(np.int64)
         oasis = 1 / (1 + np.exp(-(proto[lab2] + 0.3 * rng.normal(
             size=(len(lab2), oasis_dim)).astype(np.float32))))

@@ -90,7 +90,9 @@ def make_circles_squares(
 
 def synthetic_labeled_images(
     n: int, shape, n_classes: int = 10, seed: int = 0,
-    proto_seed: int = None
+    proto_seed: int = None, difficulty: float = 0.0,
+    proto_scale: float = None, noise_std: float = None,
+    intra_class_k: int = None,
 ) -> Dict[str, np.ndarray]:
     """Class-structured random images: each class has a smooth random
     prototype; samples are noisy prototypes squashed to [0,1]. Lets
@@ -101,15 +103,44 @@ def synthetic_labeled_images(
     MUST share a proto_seed, else the test split is a different
     distribution than the model ever trained on (like swapping the digit
     shapes between MNIST train and test) and every coherence metric
-    collapses to chance. Defaults to `seed` for standalone use."""
+    collapses to chance. Defaults to `seed` for standalone use.
+
+    Difficulty knobs (VERDICT r2: saturated grids at coherence 1.0000 made
+    the reference's published discriminating metric non-discriminating):
+    - proto_scale: class-prototype magnitude; smaller -> more class
+      OVERLAP relative to the sample noise.
+    - noise_std: per-sample noise (intra-class variance).
+    - intra_class_k: sub-prototypes per class (intra-class multimodality,
+      like digit writing styles); each sample draws one of k offsets.
+    - difficulty in [0,1]: single convenience scalar mapping onto all
+      three (0 = legacy easy data, bit-identical to previous rounds at
+      intra_class_k=1 path; ~0.55 lands flagship cross-coherence near the
+      reference's real-data regime ~0.8, ablation_n_made.py:8-13).
+    """
+    if proto_scale is None:
+        proto_scale = 1.0 - 0.65 * difficulty
+    if noise_std is None:
+        noise_std = 0.5 + 0.9 * difficulty
+    if intra_class_k is None:
+        intra_class_k = 1 if difficulty == 0.0 else 3
     rng = np.random.default_rng(seed)
     proto_rng = np.random.default_rng(seed if proto_seed is None else proto_seed)
     protos = proto_rng.normal(0, 1, size=(n_classes,) + tuple(shape)).astype(np.float32)
+    protos *= np.float32(proto_scale)
     labels = rng.integers(0, n_classes, size=n)
     # noise + sigmoid in float32 throughout: the float64 draw + exp cost
     # ~2 min at n=20k SVHN-sized images on this host
     imgs = protos[labels]
-    imgs += 0.5 * rng.standard_normal(size=(n,) + tuple(shape), dtype=np.float32)
+    if intra_class_k > 1:
+        # style sub-prototypes: same proto_rng stream so all splits share
+        # them; half the prototype magnitude so class identity dominates
+        subs = proto_rng.normal(
+            0, 1, size=(n_classes, intra_class_k) + tuple(shape)
+        ).astype(np.float32) * np.float32(0.5 * proto_scale)
+        style = rng.integers(0, intra_class_k, size=n)
+        imgs = imgs + subs[labels, style]
+    imgs += np.float32(noise_std) * rng.standard_normal(
+        size=(n,) + tuple(shape), dtype=np.float32)
     np.negative(imgs, out=imgs)
     np.exp(imgs, out=imgs)
     imgs += 1.0

@@ -163,6 +163,11 @@ def _optimize_layout(emb0, heads, tails, weights, *, a, b, n_epochs,
         rep_coef = (2.0 * b / ((0.001 + d2n)
                     * (1.0 + a * jnp.power(jnp.maximum(d2n, 1e-12), b))))
         gn = jnp.clip(rep_coef[..., None] * diff_n, -4.0, 4.0)
+        # umap-learn layouts.py: coincident negative pairs (dist == 0,
+        # sample != head) get a fixed +4 repulsive gradient per dim; a
+        # sampled self-pair gets none
+        coincident = (d2n <= 0.0) & (negs != heads[:, None])
+        gn = jnp.where(coincident[..., None], 4.0, gn)
         gn = gn * keep[:, None, None]
         upd = upd.at[heads].add(gn.sum(1))
 

@@ -223,9 +223,49 @@ class InceptionV3FID(nn.Module):
         return jnp.mean(x, axis=(2, 3))  # adaptive avg pool -> (N, 2048)
 
 
+# the published pytorch-fid weights (inception.py:13) embed the first 8
+# sha256 hex chars in the filename, per the torch.hub convention
+FID_WEIGHTS_NAME = "pt_inception-2015-12-05-6726825d.pth"
+FID_WEIGHTS_SHA256_PREFIX = "6726825d"
+
+
+def verify_fid_weights(path: str) -> str:
+    """Hash-check a FID weights file before use. Returns the sha256 hex.
+
+    The expected prefix is parsed from the filename's ``-<8hex>.pth``
+    suffix (torch.hub's download convention, which pytorch-fid's
+    FID_WEIGHTS_URL follows — inception.py:13); a file named like the
+    published checkpoint but with different bytes is rejected. Files
+    without a hash-suffixed name are allowed through (custom weights)
+    with the digest printed for the record.
+    """
+    import hashlib
+    import os
+    import re
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()
+    m = re.search(r"-([0-9a-f]{8,})\.pth$", os.path.basename(path))
+    if m and not digest.startswith(m.group(1)):
+        raise ValueError(
+            f"FID weights hash mismatch for {path}: sha256={digest} does "
+            f"not start with filename-embedded prefix {m.group(1)}")
+    print(f"fid weights {os.path.basename(path)}: sha256={digest}")
+    return digest
+
+
 def load_torch_inception_weights(variables, pt_path: str):
     """Convert the pytorch-fid checkpoint (state_dict of FIDInceptionV3)
-    into our variable tree. Returns updated variables."""
+    into our variable tree. Returns updated variables.
+
+    Raises if any checkpoint tensor other than the unused classifier head
+    (``fc.*``, inception.py:193 num_classes=1008) or BN bookkeeping
+    (``num_batches_tracked``) goes unconsumed — a renamed-key or
+    wrong-architecture file fails loudly instead of silently keeping
+    random init for part of the network."""
     import torch
 
     sd = torch.load(pt_path, map_location="cpu")
@@ -234,19 +274,31 @@ def load_torch_inception_weights(variables, pt_path: str):
 
     params = jax.tree.map(np.array, variables["params"])
     stats = jax.tree.map(np.array, variables["batch_stats"])
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key].numpy()
 
     def visit(tree_p, tree_s, prefix):
         if "kernel" in tree_p and "bn" in tree_p:
-            tree_p["kernel"] = sd[prefix + ".conv.weight"].numpy()
-            tree_p["bn"]["scale"] = sd[prefix + ".bn.weight"].numpy()
-            tree_p["bn"]["bias"] = sd[prefix + ".bn.bias"].numpy()
-            tree_s["bn"]["mean"] = sd[prefix + ".bn.running_mean"].numpy()
-            tree_s["bn"]["var"] = sd[prefix + ".bn.running_var"].numpy()
+            tree_p["kernel"] = take(prefix + ".conv.weight")
+            tree_p["bn"]["scale"] = take(prefix + ".bn.weight")
+            tree_p["bn"]["bias"] = take(prefix + ".bn.bias")
+            tree_s["bn"]["mean"] = take(prefix + ".bn.running_mean")
+            tree_s["bn"]["var"] = take(prefix + ".bn.running_var")
             return
         for k in tree_p:
             visit(tree_p[k], tree_s.get(k, {}), f"{prefix}.{k}" if prefix else k)
 
     visit(params, stats, "")
+    leftovers = {k for k in sd
+                 if not k.endswith("num_batches_tracked")
+                 and not k.startswith("fc.")} - consumed
+    if leftovers:
+        raise ValueError(
+            f"unconsumed FID checkpoint keys (wrong file?): {sorted(leftovers)[:8]}"
+            f"{' ...' if len(leftovers) > 8 else ''}")
     return {"params": params, "batch_stats": stats}
 
 
@@ -280,6 +332,7 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
         variables = jax.jit(model.init)(key, jnp.zeros((1, 3, 299, 299)))
         jax.block_until_ready(variables)
     if weights_path is not None:
+        verify_fid_weights(weights_path)
         variables = jax.device_put(
             load_torch_inception_weights(variables, weights_path))
 
@@ -323,9 +376,24 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
 
 def cross_modal_fid(model, variables, loader, spec, key,
                     encoder_fn: Callable, n_batches: Optional[int] = None,
-                    verbose: bool = False):
-    """Per-direction conditional FID: reference activations of real test
-    data vs activations of cross-generated samples."""
+                    verbose: bool = False, compute_prd: bool = False):
+    """Conditional FID over ALL ordered cross pairs: reference activations
+    of real test data vs activations of samples generated from each other
+    modality.
+
+    Key naming follows the reference exactly: bimodal models emit
+    ``fid_{target}`` (generated from the single other modality,
+    modalities/mnist_svhn.py:58-64); >=3 modalities emit the full
+    M x (M-1) matrix ``fid_{src}_{target}`` (modalities/trimodal.py:60-78,
+    src = modality conditioned on, target = modality sampled).
+
+    n_batches=None consumes the entire test loader — the reference
+    protocol (mnist_svhn.py:26-33); pass an int to cap explicitly.
+
+    compute_prd additionally emits ``prd_f8[_...]`` / ``prd_f1_8[_...]``
+    per direction from the same activations (prd_score.py:139,
+    plot_prds_from_utils.py protocol).
+    """
     import time
 
     from .generation import sample_from_conditional
@@ -338,30 +406,43 @@ def cross_modal_fid(model, variables, loader, spec, key,
 
     n_mod = None
     ref_acts: List[List[np.ndarray]] = []
-    gen_acts: List[List[np.ndarray]] = []
+    gen_acts: dict = {}
     for bi, (xs, _) in enumerate(loader):
         if n_batches is not None and bi >= n_batches:
             break
         if n_mod is None:
             n_mod = len(xs)
             ref_acts = [[] for _ in range(n_mod)]
-            gen_acts = [[] for _ in range(n_mod)]
+            gen_acts = {(s, t): [] for s in range(n_mod)
+                        for t in range(n_mod) if s != t}
         for m in range(n_mod):
             ref_acts[m].append(encoder_fn(xs[m]))
         _mark(f"batch {bi}: real activations")
         gen = sample_from_conditional(model, variables,
                                       [jnp.asarray(x) for x in xs],
                                       jax.random.fold_in(key, bi), n=1)
-        # direction m: samples generated FROM the other modality
-        for m in range(n_mod):
-            src = (m + 1) % n_mod
-            g = np.asarray(gen[src][m][0])
-            gen_acts[m].append(encoder_fn(g))
+        for (src, tgt), acc in gen_acts.items():
+            acc.append(encoder_fn(np.asarray(gen[src][tgt][0])))
         _mark(f"batch {bi}: generated activations")
+
+    ref_cat = [np.concatenate(r) for r in ref_acts]
+    ref_stats = [activation_statistics(r) for r in ref_cat]
     fids = {}
-    for m in range(n_mod):
-        mu1, s1 = activation_statistics(np.concatenate(ref_acts[m]))
-        mu2, s2 = activation_statistics(np.concatenate(gen_acts[m]))
-        fids[f"fid_{m}"] = calculate_frechet_distance(mu1, s1, mu2, s2)
-        _mark(f"frechet distance mod {m}")
+    for (src, tgt), acc in gen_acts.items():
+        gen_cat = np.concatenate(acc)
+        mu1, s1 = ref_stats[tgt]
+        mu2, s2 = activation_statistics(gen_cat)
+        keysuf = f"{tgt}" if n_mod == 2 else f"{src}_{tgt}"
+        fids[f"fid_{keysuf}"] = calculate_frechet_distance(mu1, s1, mu2, s2)
+        _mark(f"frechet distance {keysuf}")
+        if compute_prd:
+            from . import prd
+
+            n = min(len(gen_cat), len(ref_cat[tgt]))
+            precision, recall = prd.compute_prd_from_embedding(
+                gen_cat[:n], ref_cat[tgt][:n])
+            f8, f18 = prd.prd_to_max_f_beta_pair(precision, recall)
+            fids[f"prd_f8_{keysuf}"] = float(f8)
+            fids[f"prd_f1_8_{keysuf}"] = float(f18)
+            _mark(f"prd {keysuf}")
     return fids

@@ -32,9 +32,13 @@ def sample_from_moe_subset(model, variables, subset: Sequence[int], data, key):
 def sample_from_poe_subset(model, variables, subset: Sequence[int], data, key,
                            mcmc_steps: int = 100, n_lf: int = 10,
                            eps_lf: float = 0.01, K: int = 1,
-                           divide_prior: bool = True):
+                           divide_prior: bool = True,
+                           return_acceptance: bool = False):
     """HMC over ln q_PoE(z | x_subset) (jmvae_nf.py:332-437).
-    Returns (K, n_data, latent_dim)."""
+    Returns (K, n_data, latent_dim); with return_acceptance=True returns
+    (samples, acceptance_rate) where acceptance_rate is the mean accepted
+    fraction over steps and chains (the reference records it per step,
+    jmvae_nf.py:435 `acc_rate = moves.mean()`)."""
     n_data = data[0].shape[0]
     data = [jnp.concatenate([d] * K, axis=0) for d in data]
     n = data[0].shape[0]
@@ -51,7 +55,7 @@ def sample_from_poe_subset(model, variables, subset: Sequence[int], data, key,
     z0 = sample_from_moe_subset(model, variables, subset, data, k0)
 
     def body(i, carry):
-        z0, key = carry
+        z0, key, acc_sum = carry
         key, k_gamma, k_acc = jax.random.split(key, 3)
         z = z0
         rho = jax.random.normal(k_gamma, z.shape, z.dtype)
@@ -72,7 +76,11 @@ def sample_from_poe_subset(model, variables, subset: Sequence[int], data, key,
         alpha = jnp.exp(h0 - h)
         moves = (jax.random.uniform(k_acc, (n,)) < alpha).astype(z.dtype)[:, None]
         z = z * moves + (1 - moves) * z0
-        return (z, key)
+        return (z, key, acc_sum + jnp.mean(moves))
 
-    z, _ = jax.lax.fori_loop(0, mcmc_steps, body, (z0, k_loop))
-    return z.reshape(K, n_data, -1)
+    z, _, acc_sum = jax.lax.fori_loop(0, mcmc_steps, body,
+                                      (z0, k_loop, jnp.float32(0.0)))
+    z = z.reshape(K, n_data, -1)
+    if return_acceptance:
+        return z, acc_sum / mcmc_steps
+    return z

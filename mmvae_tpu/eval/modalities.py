@@ -108,8 +108,12 @@ def poe_subset_accuracy(model, variables, classifiers, data, classes, key, spec,
             zs = D.normal_sample(
                 LocScale(mu, std), k, (ns,))
         else:
-            zs = sample_from_poe_subset(model, variables, s, bdata, k,
-                                        mcmc_steps=mcmc_steps, K=ns)
+            zs, acc_rate = sample_from_poe_subset(
+                model, variables, s, bdata, k, mcmc_steps=mcmc_steps, K=ns,
+                return_acceptance=True)
+            # reference records per-step HMC acceptance (jmvae_nf.py:435);
+            # chain-health diagnostic justifying the step budget
+            metrics[f"hmc_acc_rate_{gen_mod}"] = float(acc_rate)
         flat = zs.reshape(ns * n_data, -1)
         recon = model.apply(variables, flat, method="decode_all")[gen_mod]
         preds = jnp.argmax(classifiers[gen_mod](recon), axis=1)

@@ -94,13 +94,19 @@ def visualize_umap(z, classes, save_file: Optional[str] = None):
     z = np.asarray(z).reshape(len(z), -1)
     try:
         from sklearn.manifold import TSNE
-
-        z_embed = TSNE(perplexity=min(30.0, max(1.0, len(z) - 1.0))
-                       ).fit_transform(z) if z.shape[1] > 2 else z
-    except Exception:
-        from .embed import UMAP
-
-        z_embed = UMAP().fit_transform(z) if z.shape[1] > 2 else z
+        reducer = "tsne"
+    except ImportError:
+        # only a missing sklearn switches algorithms; genuine TSNE runtime
+        # failures (NaN input, shape errors) must propagate
+        from .embed import UMAP as TSNE  # noqa: N814
+        reducer = "umap"
+    if z.shape[1] > 2:
+        kwargs = ({"perplexity": min(30.0, max(1.0, len(z) - 1.0))}
+                  if reducer == "tsne" else {})
+        z_embed = TSNE(**kwargs).fit_transform(z)
+        print(f"visualize_umap: reduced with {reducer}")
+    else:
+        z_embed = z
     fig = plt.figure()
     plt.scatter(z_embed[:, 0], z_embed[:, 1],
                 c=np.asarray(classes) if classes is not None else None,

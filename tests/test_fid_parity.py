@@ -233,3 +233,45 @@ def test_fid_preprocess_matches_torch_interpolate():
     assert got.shape == (2, 3, 299, 299)
     np.testing.assert_allclose(got[:, :1], ref, rtol=1e-4, atol=1e-5)
     assert np.all(got[:, 1:] == 0)
+
+
+def test_verify_fid_weights_hash(tmp_path):
+    """--fid-weights flow: sha256 prefix parsed from the filename must
+    match (torch.hub convention used by pytorch-fid's FID_WEIGHTS_URL,
+    inception.py:13)."""
+    import hashlib
+
+    from mmvae_tpu.eval.fid import verify_fid_weights
+
+    data = b"fake weights bytes"
+    digest = hashlib.sha256(data).hexdigest()
+    good = tmp_path / f"pt_inception-2015-12-05-{digest[:8]}.pth"
+    good.write_bytes(data)
+    assert verify_fid_weights(str(good)) == digest
+
+    bad = tmp_path / "pt_inception-2015-12-05-deadbeef.pth"
+    bad.write_bytes(data)
+    with pytest.raises(ValueError, match="hash mismatch"):
+        verify_fid_weights(str(bad))
+
+    anon = tmp_path / "custom_encoder.pth"  # non-suffixed names pass
+    anon.write_bytes(data)
+    assert verify_fid_weights(str(anon)) == digest
+
+
+def test_converter_flags_unconsumed_keys(parity_pair, tmp_path):
+    """A checkpoint with unexpected tensor names must fail loudly; the
+    published file's fc.* head and num_batches_tracked are tolerated."""
+    tmodel, _, variables = parity_pair
+    sd = tmodel.state_dict()
+    sd["fc.weight"] = torch.zeros(1008, 2048)  # classifier head: ignored
+    sd["fc.bias"] = torch.zeros(1008)
+    ok_path = tmp_path / "with_fc.pth"
+    torch.save(sd, str(ok_path))
+    load_torch_inception_weights(variables, str(ok_path))
+
+    sd["Mixed_9z.bogus.weight"] = torch.zeros(3)
+    bad_path = tmp_path / "renamed.pth"
+    torch.save(sd, str(bad_path))
+    with pytest.raises(ValueError, match="unconsumed"):
+        load_torch_inception_weights(variables, str(bad_path))

@@ -1,0 +1,139 @@
+"""1-device vs 8-device mesh equivalence for training and eval.
+
+dryrun_multichip proves the sharded steps compile and run; these tests
+prove they compute the SAME numbers: objective value and gradients under
+an 8-device ('data','k') mesh must match the 1-device run within f32
+reduction-order tolerance, for both the flagship MMVAE DReG objective
+(custom-VJP, K axis sharded) and the paper's JMVAE-NF post-warmup
+objective (multi-pass with BN state threading, objectives.py:179-220).
+Eval coherence on a sharded batch is covered too.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmvae_tpu.core.config import ExperimentConfig
+from mmvae_tpu.models import registry
+from mmvae_tpu.parallel import make_mesh, shard_batch
+from mmvae_tpu.train import Trainer
+
+B, K = 8, 4
+
+
+def _cfg(kind):
+    if kind == "mmvae_dreg":
+        return ExperimentConfig(
+            model="mnist_svhn", obj="dreg", looser=True, K=K, dist="laplace",
+            recon_losses=("normal", "normal"), latent_dim=4, batch_size=B,
+            warmup=0, no_nf=True, flow="maf")
+    return ExperimentConfig(
+        model="jnf_mnist_fashion", obj="jmvae_nf", K=1, latent_dim=4,
+        batch_size=B, warmup=1, no_nf=False, flow="maf",
+        recon_losses=("normal", "normal"))
+
+
+def _batch(kind):
+    rng = np.random.default_rng(0)
+    shapes = ([(1, 28, 28), (3, 32, 32)] if kind == "mmvae_dreg"
+              else [(1, 28, 28), (1, 28, 28)])
+    return [rng.uniform(size=(B,) + s).astype(np.float32) for s in shapes]
+
+
+def _loss_and_grads(kind, mesh):
+    """One objective evaluation + gradient under the given mesh.
+
+    Compares raw gradients, NOT post-Adam params: Adam's first-step update
+    is ~sign(g)*lr, so reduction-order noise on a near-zero gradient flips
+    an update's sign and shows up as a 2*lr param difference that says
+    nothing about sharding correctness."""
+    from mmvae_tpu import objectives as obj_mod
+
+    cfg = _cfg(kind)
+    bundle = registry.build(cfg)
+    xs = _batch(kind)
+    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    variables = trainer.init_variables(xs, key)
+    obj_name, obj_fn, custom = obj_mod.resolve(cfg.obj, True, cfg.looser)
+    kwargs = dict(K=cfg.K, warmup=cfg.warmup, beta_prior=cfg.beta_prior,
+                  beta=cfg.beta, past_warmup=True, beta_kl=jnp.float32(1.0),
+                  epoch=jnp.float32(2.0), train=True)
+
+    @jax.jit
+    def run(variables, xs, key):
+        if custom:
+            obj, details, new_state, grads = obj_fn(
+                bundle.model, variables, xs, key, bundle.spec, **kwargs)
+            return obj, grads
+        def loss_fn(p):
+            obj, details, new_state = obj_fn(
+                bundle.model, {**variables, "params": p}, xs, key,
+                bundle.spec, **kwargs)
+            return obj
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    xs_dev = shard_batch(mesh, [jnp.asarray(x) for x in xs])
+    obj, grads = run(variables, xs_dev, key)
+    return float(obj), [np.asarray(g) for g in
+                        jax.tree_util.tree_leaves(grads)]
+
+
+@pytest.mark.parametrize("kind", ["mmvae_dreg", "jnf_postwarmup"])
+def test_loss_and_grads_1dev_vs_8dev(kind):
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest forces an 8-device virtual CPU mesh"
+    mesh1 = make_mesh(n_data=1, n_k=1, devices=devs[:1])
+    mesh8 = make_mesh(n_data=4, n_k=2, devices=devs[:8])
+
+    loss1, grads1 = _loss_and_grads(kind, mesh1)
+    loss8, grads8 = _loss_and_grads(kind, mesh8)
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss8, loss1, rtol=2e-4)
+    # f32 reduction-order noise is absolute at the scale of the summed
+    # loss terms, not of each leaf: a leaf whose true gradient cancels to
+    # ~0 carries noise proportional to the LARGEST gradients in the tree.
+    # A sharding bug shows as O(1) relative error on the meaningful
+    # leaves, which rtol catches.
+    scale = max(np.abs(g).max() for g in grads1)
+    for g1, g8 in zip(grads1, grads8):
+        if (np.abs(g1).max() < 2e-5 * scale
+                and np.abs(g8).max() < 2e-5 * scale):
+            continue  # pure-noise leaf: true gradient cancels to ~0 on
+            # both meshes; its content is reduction-order residue
+        np.testing.assert_allclose(g8, g1, rtol=5e-3, atol=5e-6 * scale)
+
+
+def test_eval_coherence_batch_under_mesh():
+    """One coherence eval batch with inputs sharded over 'data': the
+    cross-coherence matrix must match the unsharded computation."""
+    from mmvae_tpu.eval import compute_accuracies
+
+    cfg = _cfg("mmvae_dreg")
+    bundle = registry.build(cfg)
+    xs = _batch("mmvae_dreg")
+    labs = [np.arange(B) % 10, np.arange(B) % 10]
+    key = jax.random.PRNGKey(1)
+    trainer = Trainer(bundle.model, bundle.spec, cfg,
+                      mesh=make_mesh(n_data=4, n_k=2,
+                                     devices=jax.devices()[:8]))
+    variables = trainer.init_variables(xs, key)
+
+    def clf(x):  # deterministic stand-in classifier
+        return jnp.stack([x.reshape(x.shape[0], -1)[:, :10].sum(-1) * (i + 1)
+                          for i in range(10)], axis=-1)
+
+    classifiers = [clf, clf]
+    plain = compute_accuracies(
+        bundle.model, variables, classifiers,
+        [jnp.asarray(x) for x in xs], [jnp.asarray(l) for l in labs],
+        key, bundle.spec, n_data=B, ns=2)
+    sharded_xs = shard_batch(trainer.mesh, [jnp.asarray(x) for x in xs])
+    sharded = compute_accuracies(
+        bundle.model, variables, classifiers,
+        sharded_xs, [jnp.asarray(l) for l in labs],
+        key, bundle.spec, n_data=B, ns=2)
+    for k in plain:
+        np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5,
+                                   err_msg=k)
