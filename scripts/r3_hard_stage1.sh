@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-3 ablation-grid calibration (VERDICT r2 next#5): pretrain the DCCA
+# trunks on the HARD synthetic MNIST-SVHN stand-in (difficulty=0.55), train
+# the flagship grid point (nmade_2), and validate — the coherence readout
+# decides whether difficulty=0.55 lands in the reference's real-data regime
+# (~0.8 cross coherence, tests/ablation_n_made.py:8-13).
+set -ex
+cd "$(dirname "$0")/.."
+export PYTHONUNBUFFERED=1
+
+python -u -m mmvae_tpu.cli.dcca_train --dataset mnist_svhn --synthetic-n 20000 \
+  --difficulty 0.55 --out /root/experiments/dcca_hard --epochs 20
+
+python -u -m mmvae_tpu.cli.train \
+  --config-path configs/mnist_svhn/hard/jnfd_hard_nmade_2.json \
+  --experiments-dir /root/experiments_hard
+
+python -u -m mmvae_tpu.cli.validate --model jmvae_nf_dcca/mnist_svhn_hard \
+  --experiments-dir /root/experiments_hard --skip-fid
