@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--synthetic-n", type=int, default=0,
                         help="synthetic stand-in scale (0 = dataset default); "
                         "match the downstream model's synthetic_n")
+    parser.add_argument("--difficulty", type=float, default=0.0,
+                        help="synthetic stand-in difficulty knob (0 = easy "
+                        "legacy generator); match the downstream model's "
+                        "`difficulty` config key")
     parser.add_argument("--out", type=str, default="../experiments/dcca")
     parser.add_argument("--platform", type=str, default="cpu",
                         help="cpu = reference-parity float64 eigh loss; any "
@@ -54,6 +58,8 @@ def main(argv=None):
     builders, default_dim = DCCA_BUILDERS[info.dataset]
     outdim = info.outdim or default_dim
     extra = {"synthetic_n": info.synthetic_n} if info.synthetic_n else {}
+    if info.difficulty:
+        extra["difficulty"] = info.difficulty
     train_l, test_l, val_l = get_dataloaders(
         info.dataset, batch_size=info.batch_size, data_path=info.data_path,
         **extra)

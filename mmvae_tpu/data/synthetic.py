@@ -92,7 +92,7 @@ def synthetic_labeled_images(
     n: int, shape, n_classes: int = 10, seed: int = 0,
     proto_seed: int = None, difficulty: float = 0.0,
     proto_scale: float = None, noise_std: float = None,
-    intra_class_k: int = None,
+    intra_class_k: int = None, confound_max: float = None,
 ) -> Dict[str, np.ndarray]:
     """Class-structured random images: each class has a smooth random
     prototype; samples are noisy prototypes squashed to [0,1]. Lets
@@ -112,9 +112,18 @@ def synthetic_labeled_images(
     - noise_std: per-sample noise (intra-class variance).
     - intra_class_k: sub-prototypes per class (intra-class multimodality,
       like digit writing styles); each sample draws one of k offsets.
+    - confound_max: each sample mixes in a random OTHER class's prototype
+      with weight w ~ U(0, confound_max). Unlike i.i.d. pixel noise (which
+      a conv net averages out over ~1-3k pixels — the r3 calibration run at
+      difficulty=0.55 still saturated cross-coherence at 0.9997), the
+      confound lives exactly in the class-discriminative subspace, so
+      samples with w near 0.5 are genuinely ambiguous: this knob sets the
+      Bayes error directly, the way real SVHN's blurry house numbers do in
+      the reference's published grids.
     - difficulty in [0,1]: single convenience scalar mapping onto all
-      three (0 = legacy easy data, bit-identical to previous rounds at
-      intra_class_k=1 path; ~0.55 lands flagship cross-coherence near the
+      four (0 = legacy easy data, bit-identical to previous rounds at
+      intra_class_k=1 path; the hard-grid configs use the value calibrated
+      in docs/QUALITY.md to land flagship cross-coherence near the
       reference's real-data regime ~0.8, ablation_n_made.py:8-13).
     """
     if proto_scale is None:
@@ -123,6 +132,8 @@ def synthetic_labeled_images(
         noise_std = 0.5 + 0.9 * difficulty
     if intra_class_k is None:
         intra_class_k = 1 if difficulty == 0.0 else 3
+    if confound_max is None:
+        confound_max = 0.9 * difficulty
     rng = np.random.default_rng(seed)
     proto_rng = np.random.default_rng(seed if proto_seed is None else proto_seed)
     protos = proto_rng.normal(0, 1, size=(n_classes,) + tuple(shape)).astype(np.float32)
@@ -139,6 +150,14 @@ def synthetic_labeled_images(
         ).astype(np.float32) * np.float32(0.5 * proto_scale)
         style = rng.integers(0, intra_class_k, size=n)
         imgs = imgs + subs[labels, style]
+    if confound_max > 0.0:
+        # separate stream: keeps labels/noise/style draws (and therefore
+        # the difficulty=0 data) bit-identical to previous rounds
+        c_rng = np.random.default_rng([seed, 7777])
+        alt = (labels + c_rng.integers(1, n_classes, size=n)) % n_classes
+        w = c_rng.uniform(0.0, confound_max, size=n).astype(np.float32)
+        w = w.reshape((n,) + (1,) * len(tuple(shape)))
+        imgs = (1.0 - w) * imgs + w * protos[alt]
     imgs += np.float32(noise_std) * rng.standard_normal(
         size=(n,) + tuple(shape), dtype=np.float32)
     np.negative(imgs, out=imgs)

@@ -57,16 +57,35 @@ class JMVAE_NF(nn.Module):
         return gaussian_log_q_z0(mu, log_var, z0) + ldj
 
     def compute_kld(self, x, train: bool = False, no_recon: bool = False,
-                    beta_kl: float = 1.0):
+                    beta_kl: float = 1.0, stop_joint_grad: bool = False):
         """KL(q(z|x,y) || q_flow(z|x_m)) regularizer, plus optional unimodal
         reconstruction terms (jmvae_nf.py:56-85).
 
         Returns (reg, details). details keys mirror the reference:
         kld_{m}, recon_loss_{m}.
+
+        Unlike the reference (whose compute_kld re-runs the full forward,
+        jmvae_nf.py:57), only the joint ENCODER is run here: the joint
+        reconstructions of that second forward are unused by every caller
+        (the recon term below is the *unimodal* VAE forward, and the joint
+        recon loss comes from the objective's own forward). Skipping the
+        dead decode halves the decoder cost of the post-warmup step. The
+        only observable deviation: decoder BatchNorm running stats (ResNet
+        decoders only) update once per step instead of twice on the same
+        batch — same fixed point, half the effective momentum.
+
+        `stop_joint_grad=True` (set by the objective when the joint encoder
+        and decoders are BOTH optimizer-frozen, the published post-warmup
+        phase) detaches (mu, std, z): their gradients are masked to zero by
+        the optimizer anyway (train/freezing.py), so the trainable-param
+        gradients are bit-identical while the joint-encoder backward pass
+        is eliminated.
         """
-        out = self(x, train=train)
-        mu, std = out["qz_xy"]
-        z_xy = out["z_xy"]
+        mu, std = self.encode_joint(x, train=train)
+        key = self.make_rng("sample")
+        z_xy = D.sample(self.posterior, LocScale(mu, std), key)
+        if stop_joint_grad:
+            mu, std, z_xy = jax.lax.stop_gradient((mu, std, z_xy))
         lq_xy = jnp.sum(D.log_prob(self.posterior, LocScale(mu, std), z_xy))
         reg = 0.0
         details = {}

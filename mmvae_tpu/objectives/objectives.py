@@ -356,8 +356,17 @@ def m_jmvae_nf(model, variables, x, key, spec, K=1, epoch=1, warmup=0,
     """
     if past_warmup is None:
         past_warmup = epoch >= warmup
+    # Post-warmup with BOTH the joint encoder and decoders optimizer-frozen
+    # (the published fix_jencoder/fix_decoders recipe), every parameter
+    # reachable through the joint forward is masked: its gradients are
+    # computed and then zeroed. Detaching the forward outputs instead skips
+    # those backward conv passes entirely — bit-identical updates
+    # (tests/test_jnf_frozen_fastpath.py) at a fraction of the step cost.
+    frozen_joint = bool(kw.get("frozen_joint", False)) and bool(past_warmup)
     k1, k2 = jax.random.split(key)
     out, state = _apply(model, variables, k1, None, x, train=train)
+    if frozen_joint:
+        out = jax.lax.stop_gradient(out)
     mu, std = out["qz_xy"]
     recons = out["recons"]
     details = {}
@@ -377,6 +386,7 @@ def m_jmvae_nf(model, variables, x, key, spec, K=1, epoch=1, warmup=0,
         (reg, det), state = _apply(
             model, variables, k2, "compute_kld", x,
             train=train, no_recon=spec.no_recon, beta_kl=beta_kl,
+            stop_joint_grad=frozen_joint,
         )
         details["reg"] = reg
         details.update(det)

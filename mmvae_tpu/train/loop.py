@@ -93,6 +93,9 @@ class Trainer:
         return dict(
             K=self.cfg.K, warmup=self.cfg.warmup,
             beta_prior=self.cfg.beta_prior, beta=self.cfg.beta,
+            # static: lets m_jmvae_nf detach the fully-frozen joint
+            # encoder/decoder computation post-warmup (see objectives.py)
+            frozen_joint=bool(self.cfg.fix_jencoder and self.cfg.fix_decoders),
         )
 
     def _build_train_step(self, past_warmup: bool):

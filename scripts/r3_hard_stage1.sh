@@ -8,8 +8,13 @@ set -ex
 cd "$(dirname "$0")/.."
 export PYTHONUNBUFFERED=1
 
+# DCCA on the TPU (Cholesky-whitening CCA loss, f32): the CPU float64 eigh
+# path is ~2.5 min/epoch on this 1-core host; the chol backend is
+# parity-tested against the eigh oracle (tests) and runs the epoch jitted
+# on-device.
 python -u -m mmvae_tpu.cli.dcca_train --dataset mnist_svhn --synthetic-n 20000 \
-  --difficulty 0.55 --out /root/experiments/dcca_hard --epochs 20
+  --difficulty 0.55 --out /root/experiments/dcca_hard --epochs 20 \
+  --platform "" --backend chol
 
 python -u -m mmvae_tpu.cli.train \
   --config-path configs/mnist_svhn/hard/jnfd_hard_nmade_2.json \
