@@ -335,13 +335,19 @@ def main():
     # bf16 mixed precision is the bench default (VERDICT r2 next#3): params
     # and optimizer stay f32, MXU operands cast to bf16 (core/precision.py).
     # Training-quality parity for the policy is pinned by
-    # tests/test_precision.py; f32 remains one `--all` detail row.
+    # tests/test_precision.py and a trained-to-convergence bf16 quality row
+    # (docs/QUALITY.md); the f32 row is measured on every run below.
     flag = flagship_cfg()
     flag.extra["compute_dtype"] = "bfloat16"
     flagship = measure_tpu(flag, "mmvae-dreg-K30-bf16")
     rows.append(flagship)
+    # f32 row always measured too (advisor r3): the headline switched to
+    # bf16 in round 3 while vs_baseline divides the torch-CPU *f32*
+    # baseline — emitting vs_baseline_f32 alongside keeps the BENCH_r01/r02
+    # (f32-headline) series comparable across rounds.
+    f32 = measure_tpu(flagship_cfg(), "mmvae-dreg-K30-f32")
+    rows.append(f32)
     if run_all:
-        rows.append(measure_tpu(flagship_cfg(), "mmvae-dreg-K30-f32"))
         # saturation probe: same model, B=512 bf16. At K=30 the effective
         # batch is B*K, so B=128 already saturates the MXU; this row pins
         # that raising B past the parity recipe does NOT buy throughput
@@ -364,6 +370,9 @@ def main():
         "vs_baseline": round(flagship["sps"] / baseline, 2),
         "flops_per_step": flagship["flops_per_step"],
         "mfu": flagship["mfu"],
+        "f32_sps": f32["sps"],
+        "vs_baseline_f32": round(f32["sps"] / baseline, 2),
+        "mfu_f32": f32["mfu"],
     }))
 
 

@@ -33,6 +33,11 @@ def main(argv=None):
                         help="synthetic stand-in difficulty knob (0 = easy "
                         "legacy generator); match the downstream model's "
                         "`difficulty` config key")
+    parser.add_argument("--confound-max", type=float, default=None,
+                        help="override the difficulty-derived cross-class "
+                        "confound ceiling (hard-grid calibration knob, "
+                        "docs/QUALITY.md); match the downstream model's "
+                        "`confound_max` config key")
     parser.add_argument("--out", type=str, default="../experiments/dcca")
     parser.add_argument("--platform", type=str, default="cpu",
                         help="cpu = reference-parity float64 eigh loss; any "
@@ -60,6 +65,8 @@ def main(argv=None):
     extra = {"synthetic_n": info.synthetic_n} if info.synthetic_n else {}
     if info.difficulty:
         extra["difficulty"] = info.difficulty
+    if info.confound_max is not None:
+        extra["confound_max"] = info.confound_max
     train_l, test_l, val_l = get_dataloaders(
         info.dataset, batch_size=info.batch_size, data_path=info.data_path,
         **extra)

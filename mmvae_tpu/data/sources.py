@@ -142,14 +142,17 @@ def require_real() -> bool:
 
 
 def load_or_synthesize(loader_fn, fallback_shape, n_fallback: int, seed: int,
-                       proto_seed: int = None, difficulty: float = 0.0):
+                       proto_seed: int = None, difficulty: float = 0.0,
+                       confound_max: float = None):
     """Try a raw loader; on FileNotFoundError return synthetic stand-ins.
 
     proto_seed (see synthetic_labeled_images): one value per synthetic
     MODALITY, shared by its train/test/val splits, so the splits draw
     from one class-prototype set while the per-sample noise still varies
     with `seed`. difficulty (0..1) controls class overlap / noise /
-    intra-class variance of the stand-ins."""
+    intra-class variance of the stand-ins; confound_max (if set) overrides
+    the difficulty-derived cross-class confound weight ceiling — values
+    > 0.5 create genuinely ambiguous (Bayes-error) samples."""
     try:
         return loader_fn() + (True,)
     except (FileNotFoundError, OSError):
@@ -157,5 +160,6 @@ def load_or_synthesize(loader_fn, fallback_shape, n_fallback: int, seed: int,
             raise
         d = synthetic_labeled_images(n_fallback, fallback_shape, seed=seed,
                                      proto_seed=proto_seed,
-                                     difficulty=difficulty)
+                                     difficulty=difficulty,
+                                     confound_max=confound_max)
         return d["images"], d["labels"], False

@@ -150,7 +150,9 @@ def synthetic_labeled_images(
         ).astype(np.float32) * np.float32(0.5 * proto_scale)
         style = rng.integers(0, intra_class_k, size=n)
         imgs = imgs + subs[labels, style]
-    if confound_max > 0.0:
+    if confound_max > 0.0 and n_classes >= 2:
+        # n_classes guard: with a single class there is no "other" class to
+        # confound with (c_rng.integers(1, 1) would raise on an empty range)
         # separate stream: keeps labels/noise/style draws (and therefore
         # the difficulty=0 data) bit-identical to previous rounds
         c_rng = np.random.default_rng([seed, 7777])
