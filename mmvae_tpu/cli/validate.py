@@ -43,6 +43,14 @@ def main(argv=None):
     parser.add_argument("--prd", action="store_true",
                         help="also emit per-direction PRD f8/f1_8 from the "
                         "FID activations (prd_score.py:139)")
+    parser.add_argument("--fid-encoder", type=str, default="inception",
+                        choices=["inception", "classifier"],
+                        help="activation network for FID/PRD: the Inception "
+                        "FID net, or the trained eval classifiers' "
+                        "penultimate features (Quality_assess.py:21-170 "
+                        "custom-encoder pattern — the meaningful choice on "
+                        "a zero-egress box where Inception weights are "
+                        "unreachable)")
     parser.add_argument("--mcmc-steps", type=int, default=100,
                         help="HMC chain length for trimodal PoE-subset "
                         "metrics (reference default 100, jmvae_nf.py:332)")
@@ -79,9 +87,16 @@ def main(argv=None):
     _mark("classifiers ready")
 
     if not info.skip_fid:
-        weights = info.fid_weights or None
-        encoder_fn = make_inception_fn(weights_path=weights)
-        _mark("inception initialized")
+        if info.fid_encoder == "classifier":
+            from ..eval.classifiers import make_feature_fn
+
+            encoder_fn = [make_feature_fn(c.arch, c.variables)
+                          for c in classifiers]
+            _mark("classifier feature encoders ready")
+        else:
+            weights = info.fid_weights or None
+            encoder_fn = make_inception_fn(weights_path=weights)
+            _mark("inception initialized")
 
     has_poe = hasattr(bundle.model, "poe_log_density") or \
         hasattr(bundle.model, "poe_subset_params")

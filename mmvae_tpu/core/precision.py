@@ -33,6 +33,7 @@ def parse(name) -> jnp.dtype:
     return {
         "float32": jnp.float32, "f32": jnp.float32,
         "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float64": jnp.float64, "f64": jnp.float64,
     }[name]
 
 
@@ -40,6 +41,17 @@ def compute_dtype():
     """Dtype the matmul/conv primitives should cast their operands to."""
     d = _POLICY.get()
     return jnp.float32 if d is None else d
+
+
+def accum_dtype():
+    """Dtype contraction results are returned in: f32 under the default and
+    bf16 policies (TPU MXU partials accumulate in f32 regardless of the
+    operand dtype), f64 under the float64 policy — used by the strict
+    CPU multichip-parity tests (tests/test_multichip_parity.py), where
+    reduction-order noise must vanish so no gradient leaf needs a noise
+    filter."""
+    d = compute_dtype()
+    return jnp.float64 if d == jnp.float64 else jnp.float32
 
 
 @contextlib.contextmanager

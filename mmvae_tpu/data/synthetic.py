@@ -122,9 +122,13 @@ def synthetic_labeled_images(
       the reference's published grids.
     - difficulty in [0,1]: single convenience scalar mapping onto all
       four (0 = legacy easy data, bit-identical to previous rounds at
-      intra_class_k=1 path; the hard-grid configs use the value calibrated
-      in docs/QUALITY.md to land flagship cross-coherence near the
-      reference's real-data regime ~0.8, ablation_n_made.py:8-13).
+      intra_class_k=1 path). NOTE the derived confound_max (0.9*difficulty)
+      never crosses the w=0.5 ambiguity threshold for difficulty<=0.55,
+      which is why the r3 calibration saturated; the hard-grid configs
+      therefore pin confound_max explicitly (0.7, calibrated in
+      docs/QUALITY.md "confound_max calibration") to land flagship
+      cross-coherence near the reference's real-data regime ~0.8
+      (ablation_n_made.py:8-13).
     """
     if proto_scale is None:
         proto_scale = 1.0 - 0.65 * difficulty

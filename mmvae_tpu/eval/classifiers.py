@@ -30,11 +30,13 @@ class MnistClassifier(nn.Module):
     num_classes: int = 10
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, features: bool = False):
         h = nn.relu(BatchNorm2d(32)(Conv2d(32, 4, 1)(x), train))
         h = nn.relu(BatchNorm2d(64)(Conv2d(64, 4, 1)(h), train))
         h = h.reshape(h.shape[0], -1)  # 64*22*22 = 30976
         h = Linear(512)(h)
+        if features:  # penultimate embedding (custom-encoder FID/PRD,
+            return h  # Quality_assess.py:21-170 custom `model` pattern)
         h = nn.Dropout(0.5, deterministic=not train)(h)
         return Linear(self.num_classes)(h)
 
@@ -45,7 +47,7 @@ class SVHNClassifier(nn.Module):
     num_classes: int = 10
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, features: bool = False):
         h = nn.relu(BatchNorm2d(32)(Conv2d(32, 4, 1)(x), train))
         h = nn.relu(BatchNorm2d(64)(Conv2d(64, 4, 1)(h), train))
         h = nn.relu(BatchNorm2d(128)(Conv2d(128, 4, 1)(h), train))
@@ -55,6 +57,8 @@ class SVHNClassifier(nn.Module):
         h = nn.Dropout(0.5, deterministic=not train)(h)
         h = Linear(512)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        if features:
+            return h
         h = nn.Dropout(0.5, deterministic=not train)(h)
         return Linear(self.num_classes)(h)
 
@@ -66,9 +70,11 @@ class CirclesClassifier(nn.Module):
     num_classes: int = 10
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, features: bool = False):
         h = x.reshape(x.shape[0], -1)
         h = nn.relu(Linear(512)(h))
+        if features:
+            return h
         return Linear(self.num_classes)(h)
 
 
@@ -79,9 +85,11 @@ class AttributesClassifier(nn.Module):
     num_attrs: int = 40
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, features: bool = False):
         h = x.reshape(x.shape[0], -1)
         h = nn.relu(Linear(512)(h))
+        if features:
+            return h
         return Linear(self.num_attrs)(h)
 
 
@@ -92,11 +100,13 @@ class CelebAImgClassifier(nn.Module):
     num_attrs: int = 40
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, features: bool = False):
         h = nn.relu(BatchNorm2d(32)(Conv2d(32, 4, 2, padding=1)(x), train))
         h = nn.relu(BatchNorm2d(64)(Conv2d(64, 4, 2, padding=1)(h), train))
         h = nn.relu(BatchNorm2d(128)(Conv2d(128, 4, 2, padding=1)(h), train))
         h = jnp.mean(h, axis=(2, 3))
+        if features:
+            return h
         return Linear(self.num_attrs)(h)
 
 
@@ -186,6 +196,25 @@ def make_apply(arch: nn.Module, variables) -> Callable:
     fn = lambda x: apply(variables, x)  # noqa: E731
     # expose the pieces so fused eval programs (eval/coherence.py) can pass
     # the weights as jit ARGUMENTS instead of baked HLO constants
+    fn.arch = arch
+    fn.variables = variables
+    return fn
+
+
+def make_feature_fn(arch: nn.Module, variables) -> Callable:
+    """Penultimate-embedding encoder for classifier-featurized FID/PRD —
+    the reference's Quality_assess.py custom-`model` pattern
+    (Quality_assess.py:21-170): on a zero-egress box the Inception weights
+    are unreachable, so the trained eval classifier's features provide the
+    meaningful generation-quality embedding instead."""
+
+    @jax.jit
+    def apply(v, x):
+        return arch.apply(v, x, train=False, features=True)
+
+    def fn(x):
+        return np.asarray(apply(variables, jnp.asarray(x)))
+
     fn.arch = arch
     fn.variables = variables
     return fn

@@ -393,6 +393,12 @@ def cross_modal_fid(model, variables, loader, spec, key,
     compute_prd additionally emits ``prd_f8[_...]`` / ``prd_f1_8[_...]``
     per direction from the same activations (prd_score.py:139,
     plot_prds_from_utils.py protocol).
+
+    encoder_fn may be ONE callable (the Inception network — resizes any
+    modality to 299x299) or a LIST of per-modality callables (custom
+    encoders, e.g. eval classifier features via
+    classifiers.make_feature_fn — the Quality_assess.py custom-encoder
+    pattern); activations of modality m always come from encoder m.
     """
     import time
 
@@ -407,22 +413,26 @@ def cross_modal_fid(model, variables, loader, spec, key,
     n_mod = None
     ref_acts: List[List[np.ndarray]] = []
     gen_acts: dict = {}
+    enc = None
     for bi, (xs, _) in enumerate(loader):
         if n_batches is not None and bi >= n_batches:
             break
         if n_mod is None:
             n_mod = len(xs)
+            enc = (list(encoder_fn) if isinstance(encoder_fn, (list, tuple))
+                   else [encoder_fn] * n_mod)
+            assert len(enc) == n_mod
             ref_acts = [[] for _ in range(n_mod)]
             gen_acts = {(s, t): [] for s in range(n_mod)
                         for t in range(n_mod) if s != t}
         for m in range(n_mod):
-            ref_acts[m].append(encoder_fn(xs[m]))
+            ref_acts[m].append(enc[m](xs[m]))
         _mark(f"batch {bi}: real activations")
         gen = sample_from_conditional(model, variables,
                                       [jnp.asarray(x) for x in xs],
                                       jax.random.fold_in(key, bi), n=1)
         for (src, tgt), acc in gen_acts.items():
-            acc.append(encoder_fn(np.asarray(gen[src][tgt][0])))
+            acc.append(enc[tgt](np.asarray(gen[src][tgt][0])))
         _mark(f"batch {bi}: generated activations")
 
     ref_cat = [np.concatenate(r) for r in ref_acts]

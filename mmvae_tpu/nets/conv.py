@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..core.precision import cast_operand
+from ..core.precision import accum_dtype, cast_operand
 
 _DN = ("NCHW", "OIHW", "NCHW")
 
@@ -64,7 +64,7 @@ class Conv2d(nn.Module):
             window_strides=_pair(self.stride),
             padding=((p[0], p[0]), (p[1], p[1])),
             dimension_numbers=_DN,
-        ).astype(jnp.float32)
+        ).astype(accum_dtype())
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias[None, :, None, None]
@@ -107,7 +107,7 @@ class ConvTranspose2d(nn.Module):
             padding=pad,
             lhs_dilation=s,
             dimension_numbers=_DN,
-        ).astype(jnp.float32)
+        ).astype(accum_dtype())
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias[None, :, None, None]
@@ -148,7 +148,7 @@ class Linear(nn.Module):
             (fan_in, self.features), jnp.float32,
         )
         y = jnp.matmul(cast_operand(x), cast_operand(kernel),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=accum_dtype())
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias

@@ -76,6 +76,32 @@ def test_train_then_validate_full_test_set(smoke_run):
     assert sum(1 for r in rows if "val/acc_0_1" in r) == 2
 
 
+def test_validate_classifier_fid_prd(smoke_run):
+    """--fid-encoder classifier + --prd: FID/PRD from the trained eval
+    classifiers' penultimate features (Quality_assess.py:21-170
+    custom-encoder pattern) — the meaningful generation-quality metric on
+    a zero-egress box. Pins: per-modality encoder dispatch in
+    cross_modal_fid, make_feature_fn, and the prd_f8_* emission."""
+    from mmvae_tpu.cli.validate import main as validate_main
+
+    run_path, exp_dir = smoke_run
+    summary = validate_main(["--run-path", run_path,
+                             "--experiments-dir", exp_dir,
+                             "--repeats", "1", "--batch-size", "16",
+                             "--fid-encoder", "classifier", "--prd"])
+    import numpy as np
+    for k in ("fid_0", "fid_1", "prd_f8_0", "prd_f8_1",
+              "prd_f1_8_0", "prd_f1_8_1"):
+        assert k in summary, k
+        assert np.isfinite(summary[k]["mean"]), k
+    # classifier features are class-discriminative, so real-vs-generated
+    # FID must be strictly positive (a constant/input-insensitive encoder
+    # would emit ~0 — the failure mode this option exists to avoid)
+    assert summary["fid_0"]["mean"] > 0
+    for k in ("prd_f8_0", "prd_f8_1"):
+        assert 0.0 <= summary[k]["mean"] <= 1.0 + 1e-3
+
+
 def test_skip_warmup_use_gen_pool(tmp_path, capsys):
     """The joint-encoder pool chain (main.py:79-86,123-127): a warmup run
     publishes the pool at <experiments_dir>/joint_encoders/<exp>; a second

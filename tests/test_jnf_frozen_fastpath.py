@@ -93,3 +93,67 @@ def test_frozen_fastpath_no_recon():
 
 def test_frozen_fastpath_with_dcca_recon():
     _check(no_recon=False)
+
+
+# every JMVAE-NF family model in the registry: the fast path's exactness
+# proof depends on the substring freeze mask (train/freezing.py) covering
+# EVERY parameter reachable through the joint forward. A future submodule
+# reachable from the joint forward whose path lacks 'joint_encoder' /
+# 'decoder' / 'first_encoder' would get silently zeroed gradients on the
+# fast path only — this sweep makes that impossible to land unnoticed
+# (advisor r3).
+JNF_CASES = {
+    "jnf_circles_squares": ([(1, 32, 32), (1, 32, 32)], {}),
+    "jnf_mnist_fashion": ([(1, 28, 28), (1, 28, 28)], {}),
+    "jnf_mnist_contour": ([(1, 28, 28), (1, 28, 28)], {}),
+    "jnf_mnist_svhn_dcca": ([(1, 28, 28), (3, 32, 32)],
+                            dict(dcca=True, dim_dcca=4)),
+    "jnf_celeba": ([(3, 64, 64), (1, 1, 40)],
+                   dict(recon_losses=("normal", "bernoulli"))),
+    "jnf_msf": ([(1, 28, 28), (3, 32, 32), (1, 28, 28)],
+                dict(recon_losses=("normal",) * 3)),
+    "jnf_medmnist": ([(1, 28, 28), (3, 28, 28)], {}),
+    "jnf_chest_svhn": ([(1, 28, 28), (3, 32, 32)], {}),
+}
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("model", list(JNF_CASES))
+def test_frozen_mask_covers_joint_forward_all_jnf_models(model):
+    shapes, extra = JNF_CASES[model]
+    cfg = ExperimentConfig(
+        model=model, obj="jmvae_nf", K=1, dist="normal",
+        recon_losses=extra.pop("recon_losses", ("normal", "normal")),
+        latent_dim=3, batch_size=4, no_nf=False, flow="maf",
+        n_made_blocks=2, no_recon=True, **extra)
+    bundle = registry.build(cfg)
+    key = jax.random.PRNGKey(0)
+    x = [jax.random.uniform(jax.random.PRNGKey(10 + i), (4,) + tuple(s))
+         for i, s in enumerate(shapes)]
+    variables = bundle.model.init({"params": key, "sample": key}, x, K=1,
+                                  method="init_all")
+
+    loss_slow, _, g_slow = _value_and_grads(bundle, variables, x, False)
+    loss_fast, _, g_fast = _value_and_grads(bundle, variables, x, True)
+    assert loss_slow == loss_fast, model
+
+    frozen = freezing.frozen_prefixes_for_phase(
+        "m_jmvae_nf", True, fix_jencoder=True, fix_decoders=True)
+    trainable = freezing.path_mask(variables["params"], frozen)
+    flat_t = jax.tree_util.tree_leaves_with_path(trainable)
+    flat_s = jax.tree_util.tree_leaves(g_slow)
+    flat_f = jax.tree_util.tree_leaves(g_fast)
+    assert len(flat_t) == len(flat_s) == len(flat_f)
+    zeroed_not_frozen = []
+    for (path, is_train), gs, gf in zip(flat_t, flat_s, flat_f):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        gs, gf = np.asarray(gs), np.asarray(gf)
+        if is_train:
+            # a trainable leaf whose gradient the fast path changed (e.g.
+            # zeroed) is exactly the silent-divergence bug
+            np.testing.assert_array_equal(gs, gf, err_msg=f"{model}:{name}")
+            if np.any(gs) and not np.any(gf):
+                zeroed_not_frozen.append(name)
+    assert not zeroed_not_frozen, zeroed_not_frozen
