@@ -148,3 +148,41 @@ def test_chest_svhn_restricts_svhn_to_binary_digits():
     assert set(np.unique(c_lab)) <= {0, 1}
     assert set(np.unique(s_lab)) <= {0, 1}
     np.testing.assert_array_equal(c_lab, s_lab)  # class-matched pairs
+
+
+def test_confound_max_knob():
+    """Hard-grid calibration knob (docs/QUALITY.md "confound_max
+    calibration"): confound_max > 0.5 creates samples dominated by the
+    WRONG class's prototype; confound_max=None keeps the difficulty-derived
+    default; difficulty=0 data stays bit-identical to the legacy path."""
+    from mmvae_tpu.data.synthetic import synthetic_labeled_images
+
+    easy = synthetic_labeled_images(64, (1, 8, 8), seed=3, difficulty=0.0)
+    easy2 = synthetic_labeled_images(64, (1, 8, 8), seed=3, difficulty=0.0,
+                                     confound_max=None)
+    np.testing.assert_array_equal(easy["images"], easy2["images"])
+
+    hard_default = synthetic_labeled_images(256, (1, 8, 8), seed=3,
+                                            difficulty=0.55)
+    hard_07 = synthetic_labeled_images(256, (1, 8, 8), seed=3,
+                                       difficulty=0.55, confound_max=0.7)
+    # the override must change the data (0.7 != 0.9*0.55)
+    assert np.abs(hard_default["images"] - hard_07["images"]).max() > 1e-3
+    # labels/noise streams are shared: same labels either way
+    np.testing.assert_array_equal(hard_default["labels"], hard_07["labels"])
+
+    # n_classes=1 edge: no "other" class to confound with — must not raise
+    one = synthetic_labeled_images(16, (1, 8, 8), n_classes=1, seed=0,
+                                   difficulty=0.8)
+    assert one["images"].shape == (16, 1, 8, 8)
+
+    # loader pass-through: mnist_svhn forwards confound_max to the
+    # stand-in generator (configs forward extra keys by signature)
+    tr_a, _, _ = get_dataloaders("mnist_svhn", batch_size=16,
+                                 synthetic_n=128, difficulty=0.55)
+    tr_b, _, _ = get_dataloaders("mnist_svhn", batch_size=16,
+                                 synthetic_n=128, difficulty=0.55,
+                                 confound_max=0.7)
+    a = np.asarray(tr_a.dataset.modalities[0][:8])
+    b = np.asarray(tr_b.dataset.modalities[0][:8])
+    assert np.abs(a - b).max() > 1e-3
