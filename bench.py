@@ -146,6 +146,61 @@ def measure_tpu(cfg, label, steps: int = 100, warmup: int = 3,
     return row
 
 
+def measure_tpu_scan(cfg, label, n_scan: int = 16, chunks: int = 8,
+                     past_warmup: bool = True) -> dict:
+    """Per-step time with Trainer.device_multi_step: lax.scan over n_scan
+    steps per dispatch. The delta vs measure_tpu's one-dispatch-per-step
+    row separates host/tunnel dispatch overhead from device compute — the
+    'dispatch-bound or not' proof for the small-step models (JNF/MSF,
+    VERDICT r3 next#2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmvae_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mmvae_tpu.models import registry
+    from mmvae_tpu.train import Trainer
+
+    bundle = registry.build(cfg)
+    trainer = Trainer(bundle.model, bundle.spec, cfg)
+    batch = cfg.batch_size
+    pipeline = _make_pipeline(bundle.shape_mods, 8192, 4 * 8192, batch)
+    key = jax.random.PRNGKey(0)
+    xs0 = [np.zeros((batch,) + s, np.float32) for s in bundle.shape_mods]
+    variables = trainer.init_variables(xs0, key)
+    opt_state = trainer.init_opt_state(variables, past_warmup=past_warmup)
+    step = trainer.device_multi_step(past_warmup=past_warmup,
+                                     pipeline=pipeline, n_steps=n_scan)
+    it = pipeline.epoch_index_batches()
+    rows = jnp.asarray(np.stack(
+        [next(it) for _ in range(n_scan)]))
+    lr, one = jnp.float32(1e-3), jnp.float32(1.0)
+    data_state = pipeline.data_state
+    # compile + warm
+    variables, opt_state, loss, _ = step(
+        variables, opt_state, data_state, rows, key, lr, one, one)
+    float(jax.device_get(loss))
+    per_chunk = []
+    for _ in range(3):
+        t0 = time.time()
+        for c in range(chunks):
+            variables, opt_state, loss, _ = step(
+                variables, opt_state, data_state, rows,
+                jax.random.fold_in(key, c), lr, one, one)
+        float(jax.device_get(loss))
+        per_chunk.append((time.time() - t0) / chunks)
+    dt_step = sorted(per_chunk)[1] / n_scan
+    row = {"label": label, "sps": round(batch / dt_step, 1),
+           "step_ms": round(1000 * dt_step, 3), "n_scan": n_scan,
+           "flops_per_step": None, "mfu": None}
+    log(f"[{label}] scan{n_scan}: {row['step_ms']}ms/step -> "
+        f"{row['sps']} paired samples/s")
+    return row
+
+
 def flagship_cfg():
     from mmvae_tpu.core.config import ExperimentConfig
 
@@ -357,6 +412,10 @@ def main():
         ceil.extra["compute_dtype"] = "bfloat16"
         rows.append(measure_tpu(ceil, "mmvae-dreg-K30-bf16-B512"))
         rows.append(measure_tpu(jnf_cfg(), "jnf-postwarmup-maf"))
+        # scan variant: dispatch overhead amortized over 16 steps/dispatch —
+        # the JNF/MSF step-time floor is device compute, not tunnel latency,
+        # iff this row matches the per-dispatch one (docs/BENCH_NOTES.md r4)
+        rows.append(measure_tpu_scan(jnf_cfg(), "jnf-postwarmup-maf-scan16"))
         rows.append(measure_msf_epoch())
         with open(os.path.join(os.path.dirname(__file__),
                                "bench_details.json"), "w") as f:
