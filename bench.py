@@ -383,8 +383,47 @@ def get_baseline() -> float:
     return sps
 
 
+def _supervised_rerun() -> None:
+    """Driver-mode watchdog: run the measurement in a CHILD process under a
+    bounded timeout, up to 3 attempts, and re-print its final JSON line.
+
+    The axon remote backend nondeterministically hangs on compile or
+    first-dispatch (docs/BENCH_NOTES.md "deserialize hang"; observed again
+    r4 for >40 min windows). The driver invokes `python bench.py` exactly
+    once per round, so a single unlucky hang would lose the round's
+    BENCH_r*.json. A fresh process re-establishes the tunnel client and the
+    server-side compile cache makes retries fast; the in-process
+    measurement path is unchanged (MMVAE_BENCH_CHILD=1)."""
+    import subprocess
+
+    for attempt in range(1, 4):
+        env = dict(os.environ, MMVAE_BENCH_CHILD="1")
+        try:
+            p = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)]
+                + sys.argv[1:],
+                env=env, timeout=1500, stdout=subprocess.PIPE,
+                stderr=sys.stderr, text=True)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] attempt {attempt} timed out (tunnel hang); "
+                "retrying in a fresh process")
+            continue
+        lines = [ln for ln in p.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if p.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        log(f"[bench] attempt {attempt} failed rc={p.returncode}")
+        time.sleep(20)
+    log("[bench] giving up after 3 attempts")
+    sys.exit(1)
+
+
 def main():
     run_all = "--all" in sys.argv
+    if os.environ.get("MMVAE_BENCH_CHILD") != "1" and not run_all:
+        _supervised_rerun()
+        return
     baseline = get_baseline()
     rows = []
     # bf16 mixed precision is the bench default (VERDICT r2 next#3): params

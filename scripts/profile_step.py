@@ -4,12 +4,16 @@ post-warmup step and the bf16 flagship step).
 
     python -u scripts/profile_step.py flagship_bf16|flagship_f32|jnf [out_dir]
 
-Parses the XSpace protobuf directly (tensorflow.core.profiler.protobuf),
-aggregating event self-time per line (thread/stream) and per HLO-op
-category, so the analysis works headless (no TensorBoard UI).
+Parses the Chrome trace-event JSON the profiler writes alongside the
+xplane (plugins/profile/*/… .trace.json.gz) with stdlib only — the boxed
+tensorflow build ships no xplane_pb2 proto module — aggregating event
+time per lane (process/thread) and per op name, so the analysis works
+headless (no TensorBoard UI).
 """
 import collections
 import glob
+import gzip
+import json
 import os
 import sys
 import time
@@ -75,37 +79,53 @@ def run_traced(which, out_dir, n_steps=30):
 
 
 def analyze(out_dir, top=25):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
-
-    paths = sorted(glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
+    paths = sorted(glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"),
                              recursive=True))
     if not paths:
-        print("NO xplane.pb produced — backend did not emit a trace")
+        print("NO trace.json.gz produced — backend did not emit a trace")
         return
     for path in paths:
-        xspace = xplane_pb2.XSpace()
-        with open(path, "rb") as f:
-            xspace.ParseFromString(f.read())
+        with gzip.open(path, "rt") as f:
+            events = json.load(f).get("traceEvents", [])
         print(f"\n=== {os.path.relpath(path, out_dir)} ===")
-        for plane in xspace.planes:
-            evmeta = {m.id: m.name for m in plane.event_metadata.values()}
-            total_by_line = {}
-            by_name = collections.Counter()
-            for line in plane.lines:
-                tot = 0
-                for ev in line.events:
-                    tot += ev.duration_ps
-                    by_name[evmeta.get(ev.metadata_id, "?")] += ev.duration_ps
-                total_by_line[line.name or str(line.id)] = tot
-            if not any(total_by_line.values()):
+        pnames = {}
+        tnames = {}
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pnames[ev["pid"]] = ev["args"].get("name", str(ev["pid"]))
+            if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+                tnames[(ev["pid"], ev.get("tid"))] = \
+                    ev["args"].get("name", str(ev.get("tid")))
+        lanes = collections.Counter()       # (pid,tid) -> busy us
+        spans = {}                          # (pid,tid) -> (min_ts, max_ts)
+        by_name = collections.Counter()     # device op name -> us
+        for ev in events:
+            if ev.get("ph") != "X" or "dur" not in ev:
                 continue
-            print(f"-- plane: {plane.name}")
-            for ln, tot in sorted(total_by_line.items(),
-                                  key=lambda kv: -kv[1])[:8]:
-                print(f"   line {ln:40s} {tot/1e9:10.3f} ms total")
-            print("   top events by accumulated duration:")
-            for name, ps in by_name.most_common(top):
-                print(f"     {ps/1e9:9.3f} ms  {name[:110]}")
+            key = (ev["pid"], ev.get("tid"))
+            lanes[key] += ev["dur"]
+            lo, hi = spans.get(key, (float("inf"), 0.0))
+            spans[key] = (min(lo, ev["ts"]), max(hi, ev["ts"] + ev["dur"]))
+            lane = (pnames.get(ev["pid"], "") + "/" +
+                    tnames.get(key, "")).lower()
+            # accumulate op durations on device lanes only (TPU/XLA ops);
+            # host lanes carry python/runtime frames that are not op time,
+            # and the "Steps" marker lane spans idle gaps, not op time
+            if ("steps" not in lane
+                    and ("tpu" in lane or "device" in lane or "xla" in lane)):
+                by_name[ev.get("name", "?")] += ev["dur"]
+        print("-- lanes by busy time (span = last_end - first_start):")
+        for key, busy in lanes.most_common(12):
+            lo, hi = spans[key]
+            nm = (f"{pnames.get(key[0], key[0])}/"
+                  f"{tnames.get(key, key[1])}")
+            print(f"   {nm[:58]:58s} busy {busy/1e3:9.3f} ms"
+                  f"  span {(hi - lo)/1e3:9.3f} ms"
+                  f"  occ {100.0 * busy / max(hi - lo, 1e-9):5.1f}%")
+        if by_name:
+            print("   top device ops by accumulated duration:")
+            for name, us in by_name.most_common(top):
+                print(f"     {us/1e3:9.3f} ms  {name[:110]}")
 
 
 if __name__ == "__main__":
