@@ -442,6 +442,14 @@ def main():
     f32 = measure_tpu(flagship_cfg(), "mmvae-dreg-K30-f32")
     rows.append(f32)
     if run_all:
+        # activation-storage bf16 (opt-in "activation_dtype"): conv feature
+        # maps stored bf16 between layers — attacks the HBM byte floor the
+        # round-4 roofline identified (docs/BENCH_NOTES.md); parity pinned
+        # by tests/test_precision.py
+        act = flagship_cfg()
+        act.extra["compute_dtype"] = "bfloat16"
+        act.extra["activation_dtype"] = "bfloat16"
+        rows.append(measure_tpu(act, "mmvae-dreg-K30-bf16act"))
         # saturation probe: same model, B=512 bf16. At K=30 the effective
         # batch is B*K, so B=128 already saturates the MXU; this row pins
         # that raising B past the parity recipe does NOT buy throughput

@@ -23,6 +23,18 @@ import contextvars
 import jax.numpy as jnp
 
 _POLICY = contextvars.ContextVar("mmvae_tpu_compute_dtype", default=None)
+# separate opt-in: dtype conv ACTIVATIONS are stored in between layers.
+# None (default) keeps the f32-activation contract above; "bfloat16" halves
+# the HBM traffic of the K-expanded decoder/encoder feature maps — the
+# dominant byte term of the flagship step's roofline (docs/BENCH_NOTES.md
+# round-4: byte floor 2.31 ms vs FLOP floor 1.07 ms at f32 activations).
+# Scope is deliberately conv-only (nets/conv.py Conv2d/ConvTranspose2d):
+# Linear heads, flows, BatchNorm stats, distribution params and all
+# log-prob/reduction math stay f32 — a bf16 conv activation meeting any
+# f32 operand promotes back to f32 by JAX type-promotion, so objective
+# math never silently runs in bf16.
+_ACT_POLICY = contextvars.ContextVar("mmvae_tpu_activation_dtype",
+                                     default=None)
 
 
 def parse(name) -> jnp.dtype:
@@ -54,14 +66,24 @@ def accum_dtype():
     return jnp.float64 if d == jnp.float64 else jnp.float32
 
 
+def activation_dtype():
+    """Dtype conv activations are STORED in between layers, or None to keep
+    the accumulation dtype (the default f32-activation contract)."""
+    return _ACT_POLICY.get()
+
+
 @contextlib.contextmanager
-def use(dtype):
-    """Pin the compute dtype for code traced inside this context."""
+def use(dtype, act_dtype=None):
+    """Pin the compute (and optionally conv-activation) dtype for code
+    traced inside this context."""
     token = _POLICY.set(parse(dtype))
+    atoken = _ACT_POLICY.set(None if act_dtype in (None, "")
+                             else parse(act_dtype))
     try:
         yield
     finally:
         _POLICY.reset(token)
+        _ACT_POLICY.reset(atoken)
 
 
 def cast_operand(x):
@@ -69,3 +91,10 @@ def cast_operand(x):
     under the default float32 policy)."""
     d = compute_dtype()
     return x if x.dtype == d else x.astype(d)
+
+
+def cast_activation(y):
+    """Downcast one conv-layer output to the activation-storage dtype
+    (no-op unless the opt-in activation policy is active)."""
+    d = activation_dtype()
+    return y if d is None or y.dtype == d else y.astype(d)

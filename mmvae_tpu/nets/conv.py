@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..core.precision import accum_dtype, cast_operand
+from ..core.precision import accum_dtype, cast_activation, cast_operand
 
 _DN = ("NCHW", "OIHW", "NCHW")
 
@@ -41,6 +41,10 @@ class Conv2d(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    # distribution-parameter heads (posterior mu/logvar convs) opt out of
+    # the activation-storage downcast: latent params stay f32 so sampling,
+    # KL and flow math keep full precision under the activation policy
+    head: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +72,10 @@ class Conv2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias[None, :, None, None]
-        return y
+        # opt-in activation-storage downcast (core/precision.py): halves
+        # the HBM traffic of the stored feature map; any downstream mix
+        # with an f32 operand promotes back to f32
+        return y if self.head else cast_activation(y)
 
 
 class ConvTranspose2d(nn.Module):
@@ -84,6 +91,7 @@ class ConvTranspose2d(nn.Module):
     padding: int = 0
     output_padding: int = 0
     use_bias: bool = True
+    head: bool = False  # see Conv2d.head
 
     @nn.compact
     def __call__(self, x):
@@ -111,7 +119,7 @@ class ConvTranspose2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", _uniform(bound), (self.features,), jnp.float32)
             y = y + bias[None, :, None, None]
-        return y
+        return y if self.head else cast_activation(y)
 
 
 class BatchNorm2d(nn.Module):
@@ -123,6 +131,9 @@ class BatchNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # BN statistics must not run in a reduced activation dtype: promote
+        # bf16 inputs back to f32 (f64 stays f64 — strict parity tests)
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,

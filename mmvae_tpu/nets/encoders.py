@@ -71,8 +71,8 @@ class EncoderSVHN(nn.Module):
         h = nn.relu(Conv2d(f, 4, 2, padding=1)(x))          # 16x16
         h = nn.relu(Conv2d(f * 2, 4, 2, padding=1)(h))      # 8x8
         h = nn.relu(Conv2d(f * 4, 4, 2, padding=1)(h))      # 4x4
-        mu = Conv2d(self.latent_dim, 4, 2, padding=0, name="c1")(h)
-        lv = Conv2d(self.latent_dim, 4, 2, padding=0, name="c2")(h)
+        mu = Conv2d(self.latent_dim, 4, 2, padding=0, name="c1", head=True)(h)
+        lv = Conv2d(self.latent_dim, 4, 2, padding=0, name="c2", head=True)(h)
         return mu.reshape(-1, self.latent_dim), lv.reshape(-1, self.latent_dim)
 
 

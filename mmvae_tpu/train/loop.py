@@ -55,6 +55,10 @@ class Trainer:
         # mixed precision (core/precision.py): params/optimizer stay f32,
         # conv/matmul operands cast to this dtype inside the jitted steps
         self.compute_dtype = precision.parse(cfg.extra.get("compute_dtype"))
+        # further opt-in: store conv activations in this dtype (config key
+        # "activation_dtype"; None keeps the f32-activation contract). See
+        # core/precision.py and docs/BENCH_NOTES.md round-4 roofline.
+        self.activation_dtype = cfg.extra.get("activation_dtype") or None
         self._step_cache: Dict[Any, Callable] = {}
         self._eval_cache: Dict[Any, Callable] = {}
 
@@ -105,9 +109,10 @@ class Trainer:
         statics = self._scalar_kwargs()
 
         cdtype = self.compute_dtype
+        adtype = self.activation_dtype
 
         def step(variables, opt_state, xs, key, lr, beta_kl, epoch):
-            with precision.use(cdtype):
+            with precision.use(cdtype, adtype):
                 return _step(variables, opt_state, xs, key, lr, beta_kl, epoch)
 
         guard = bool(getattr(self.cfg, "nan_guard", True))
@@ -166,11 +171,12 @@ class Trainer:
         statics = self._scalar_kwargs()
 
         cdtype = self.compute_dtype
+        adtype = self.activation_dtype
 
         def step(variables, xs, key, beta_kl, epoch):
             kwargs = dict(statics, past_warmup=past_warmup, beta_kl=beta_kl,
                           epoch=epoch, train=False)
-            with precision.use(cdtype):
+            with precision.use(cdtype, adtype):
                 out = obj_fn(model, variables, xs, key, spec, **kwargs)
             obj, details = out[0], out[1]
             return -obj, details

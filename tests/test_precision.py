@@ -59,3 +59,88 @@ def test_bf16_decoder_grads_finite():
     for leaf in jax.tree.leaves(g):
         assert leaf.dtype == jnp.float32
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+# ---------------------------------------------------------------------------
+# activation-storage policy (opt-in "activation_dtype": conv outputs stored
+# bf16 between layers; Linear heads / BN stats / log-prob math stay f32)
+# ---------------------------------------------------------------------------
+
+def test_activation_policy_dtypes():
+    from mmvae_tpu.nets.conv import BatchNorm2d, Conv2d, Linear
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (2, 3, 8, 8))
+    conv = Conv2d(features=4, kernel_size=3)
+    with precision.use("bfloat16", "bfloat16"):
+        cv = conv.init(key, x)
+        y = jax.jit(conv.apply)(cv, x)
+        assert y.dtype == jnp.bfloat16
+        # params still created/stored f32
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(cv))
+        # Linear head on a bf16 activation returns f32 (accum contract)
+        lin = Linear(features=5)
+        lv = lin.init(key, y.reshape(2, -1))
+        out = jax.jit(lin.apply)(lv, y.reshape(2, -1))
+        assert out.dtype == jnp.float32
+        # BN promotes bf16 inputs back to f32 before computing statistics
+        bn = BatchNorm2d(features=4)
+        bv = bn.init(key, y)
+        z = jax.jit(lambda v, a: bn.apply(v, a, train=False))(bv, y)
+        assert z.dtype == jnp.float32
+    # policy off: conv output keeps the f32 contract
+    with precision.use("bfloat16"):
+        y2 = jax.jit(conv.apply)(cv, x)
+        assert y2.dtype == jnp.float32
+
+
+def test_activation_policy_encoder_close_to_f32():
+    key = jax.random.PRNGKey(4)
+    x = jax.random.uniform(key, (4, 3, 32, 32))
+    enc = EncoderSVHN(latent_dim=8)
+    with precision.use(None):
+        v = enc.init(key, x)
+        mu32, _ = jax.jit(enc.apply)(v, x)
+    with precision.use("bfloat16", "bfloat16"):
+        mubf, _ = jax.jit(enc.apply)(v, x)
+    # heads are Linear -> f32 outputs, values close to the f32 oracle
+    assert mubf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(mubf), np.asarray(mu32),
+                               rtol=0.08, atol=0.08)
+
+
+def test_activation_policy_train_step_parity():
+    """One flagship-style DReG train step under activation-bf16 stays close
+    to the f32 oracle (loss within bf16 tolerance, grads finite/f32)."""
+    from mmvae_tpu.core.config import ExperimentConfig
+    from mmvae_tpu.models import registry
+    from mmvae_tpu.train import Trainer
+
+    def run(extra):
+        cfg = ExperimentConfig.from_dict(dict(
+            model="mnist_svhn", obj="dreg", looser=True, K=3, epochs=1,
+            batch_size=8, latent_dim=4, dist="laplace", warmup=0,
+            experiment="t", wandb_experiment="t",
+            recon_losses=["laplace", "laplace"], llik_scaling=0.0,
+            seed=1, data_path="", **extra))
+        bundle = registry.build(cfg)
+        trainer = Trainer(bundle.model, bundle.spec, cfg)
+        key = jax.random.PRNGKey(0)
+        xs = [jax.random.uniform(key, (8,) + s) for s in bundle.shape_mods]
+        variables = trainer.init_variables(xs, key)
+        opt_state = trainer.init_opt_state(variables, past_warmup=True)
+        step = trainer.train_step(past_warmup=True)
+        variables, opt_state, loss, _ = step(
+            variables, opt_state, xs, key, jnp.float32(1e-3),
+            jnp.float32(1.0), jnp.float32(1.0))
+        return float(loss), variables
+
+    loss32, v32 = run({})
+    lossbf, vbf = run({"compute_dtype": "bfloat16",
+                       "activation_dtype": "bfloat16"})
+    assert np.isfinite(lossbf)
+    # bf16 activations: ~2-3 significant digits on a sum over pixels
+    np.testing.assert_allclose(lossbf, loss32, rtol=0.05)
+    for leaf in jax.tree.leaves(vbf):
+        assert leaf.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(leaf)))
