@@ -261,13 +261,57 @@ class Trainer:
             self._step_cache[key_] = jax.jit(chunk, donate_argnums=(0, 1))
         return self._step_cache[key_]
 
+    def device_counter_multi_step(self, past_warmup: bool, pipeline,
+                                  n_steps: int):
+        """Counter-convention variant of device_multi_step: takes the WHOLE
+        epoch index table + a counter and runs `n_steps` consecutive train
+        steps under ONE lax.scan dispatch. The per-step PRNG key is
+        fold_in(key, counter + i) — identical to device_counter_step — so a
+        chunked epoch runs the SAME math on the same batches/keys; XLA may
+        fuse the scan body differently from the standalone step and
+        reorder float reductions, so equality is to fp-reassociation
+        tolerance (measured ~1e-5 after 2 epochs; pinned by
+        tests/test_train_e2e.py::test_steps_per_dispatch_equivalent).
+        One dispatch per chunk amortizes tunnel/host dispatch latency,
+        which dominates wall time for the small-step models (JNF/MSF:
+        ~0.3-0.5 ms device compute vs 2-18 ms per-dispatch latency,
+        docs/BENCH_NOTES.md round-4)."""
+        key_ = ("device_counter_scan", past_warmup, id(pipeline), n_steps)
+        if key_ not in self._step_cache:
+            inner = self._build_train_step(past_warmup)
+            gather = pipeline.gather_fn()
+
+            def step(variables, opt_state, data_state, rows_all, counter, key,
+                     lr, beta_kl, epoch):
+                rows = jax.lax.dynamic_slice_in_dim(rows_all, counter,
+                                                    n_steps, axis=0)
+
+                def body(carry, rows_i):
+                    variables, opt_state, c = carry
+                    xs = gather(rows_i, data_state)
+                    variables, opt_state, loss, details = inner(
+                        variables, opt_state, xs, jax.random.fold_in(key, c),
+                        lr, beta_kl, epoch)
+                    return (variables, opt_state, c + 1), (loss, details)
+
+                (variables, opt_state, counter), (losses, details) = \
+                    jax.lax.scan(body, (variables, opt_state, counter), rows)
+                details = jax.tree.map(jnp.sum, details)
+                return variables, opt_state, counter, jnp.sum(losses), details
+
+            self._step_cache[key_] = jax.jit(step, donate_argnums=(0, 1))
+        return self._step_cache[key_]
+
     def run_epoch_device(self, state: TrainerState, pipeline, key, lr, beta_kl,
                          epoch: int = 1):
         """Device-pipeline epoch: the WHOLE epoch's shuffled index batches are
         staged on device in one transfer; each step slices its row batch
         on-device, so per-step dispatches stay asynchronous (a per-step
         host->device transfer would serialize the pipeline — measured 10x
-        slower on tunneled chips)."""
+        slower on tunneled chips). Steps are dispatched in scan chunks of
+        `steps_per_dispatch` (config, default 16; 1 restores pure per-step
+        dispatch) with a per-step tail — chunking runs identical math, see
+        device_counter_multi_step."""
         past_warmup = epoch >= self.cfg.warmup
         step = self.device_counter_step(past_warmup, pipeline)
         rows_dev = jnp.asarray(np.stack(list(pipeline.epoch_index_batches())))
@@ -276,23 +320,42 @@ class Trainer:
             # the whole train step then run data-parallel, grads all-reduced
             # by XLA
             rows_dev = jax.device_put(rows_dev, pipeline.rows_sharding)
+        n_rows = rows_dev.shape[0]
+        chunk = int(self.cfg.extra.get("steps_per_dispatch", 16) or 1)
         counter = jnp.int32(0)
         ekey = jax.random.fold_in(key, epoch)
         data_state = pipeline.data_state
         losses = []
         details_acc = None
-        for _ in range(rows_dev.shape[0]):
-            (state.variables, state.opt_state, counter, loss, details) = step(
-                state.variables, state.opt_state, data_state, rows_dev,
-                counter, ekey,
-                jnp.float32(lr), jnp.float32(beta_kl), jnp.float32(epoch),
-            )
+
+        def _acc(loss, details):
+            nonlocal details_acc
             losses.append(loss)
             # accumulate details ON DEVICE: a float() per key per step would
             # block the dispatch queue on a host round-trip (measured ~10x
             # epoch slowdown for detail-heavy losses over the tunnel)
             details_acc = details if details_acc is None else jax.tree.map(
                 jnp.add, details_acc, details)
+
+        done = 0
+        if chunk > 1 and n_rows >= chunk:
+            mstep = self.device_counter_multi_step(past_warmup, pipeline,
+                                                   chunk)
+            while done + chunk <= n_rows:
+                (state.variables, state.opt_state, counter, loss,
+                 details) = mstep(
+                    state.variables, state.opt_state, data_state, rows_dev,
+                    counter, ekey, jnp.float32(lr), jnp.float32(beta_kl),
+                    jnp.float32(epoch))
+                _acc(loss, details)
+                done += chunk
+        for _ in range(done, n_rows):
+            (state.variables, state.opt_state, counter, loss, details) = step(
+                state.variables, state.opt_state, data_state, rows_dev,
+                counter, ekey,
+                jnp.float32(lr), jnp.float32(beta_kl), jnp.float32(epoch),
+            )
+            _acc(loss, details)
         total = float(jnp.sum(jnp.stack(losses)))
         n = pipeline.num_examples
         agg = jax.device_get(details_acc) if details_acc else {}
