@@ -388,25 +388,71 @@ class Trainer:
             self._eval_cache[key_] = jax.jit(step)
         return self._eval_cache[key_]
 
+    def device_eval_multi_step(self, past_warmup: bool, pipeline,
+                               n_steps: int):
+        """Eval analogue of device_counter_multi_step: n_steps val batches
+        scored under ONE lax.scan dispatch (same fold_in(key, counter+i)
+        keys as the per-batch path, summed loss/details)."""
+        key_ = ("device_eval_scan", past_warmup, id(pipeline), n_steps)
+        if key_ not in self._eval_cache:
+            inner = self._build_eval_step(past_warmup)
+            gather = pipeline.gather_fn()
+
+            def step(variables, data_state, rows_all, counter, key, beta_kl,
+                     epoch):
+                rows = jax.lax.dynamic_slice_in_dim(rows_all, counter,
+                                                    n_steps, axis=0)
+
+                def body(c, rows_i):
+                    xs = gather(rows_i, data_state)
+                    loss, details = inner(variables, xs,
+                                          jax.random.fold_in(key, c),
+                                          beta_kl, epoch)
+                    return c + 1, (loss, details)
+
+                counter, (losses, details) = jax.lax.scan(body, counter, rows)
+                return counter, jnp.sum(losses), jax.tree.map(jnp.sum,
+                                                              details)
+
+            self._eval_cache[key_] = jax.jit(step)
+        return self._eval_cache[key_]
+
     def run_epoch_device_eval(self, state: TrainerState, pipeline, key,
                               beta_kl, epoch: int = 1):
         """Validation epoch over a device-resident pipeline (see
-        run_epoch_device; same async-dispatch rules, no param updates)."""
+        run_epoch_device; same async-dispatch rules, no param updates;
+        scan-chunked by `steps_per_dispatch` like the train epoch)."""
         past_warmup = epoch >= self.cfg.warmup
         step = self.device_eval_counter_step(past_warmup, pipeline)
         rows_dev = jnp.asarray(np.stack(list(pipeline.epoch_index_batches())))
         if pipeline.rows_sharding is not None:
             rows_dev = jax.device_put(rows_dev, pipeline.rows_sharding)
+        n_rows = rows_dev.shape[0]
+        chunk = int(self.cfg.extra.get("steps_per_dispatch", 16) or 1)
         counter = jnp.int32(0)
         data_state = pipeline.data_state
         losses, details_acc = [], None
-        for _ in range(rows_dev.shape[0]):
-            counter, loss, details = step(
-                state.variables, data_state, rows_dev, counter, key,
-                jnp.float32(beta_kl), jnp.float32(epoch))
+
+        def _acc(loss, details):
+            nonlocal details_acc
             losses.append(loss)
             details_acc = details if details_acc is None else jax.tree.map(
                 jnp.add, details_acc, details)
+
+        done = 0
+        if chunk > 1 and n_rows >= chunk:
+            mstep = self.device_eval_multi_step(past_warmup, pipeline, chunk)
+            while done + chunk <= n_rows:
+                counter, loss, details = mstep(
+                    state.variables, data_state, rows_dev, counter, key,
+                    jnp.float32(beta_kl), jnp.float32(epoch))
+                _acc(loss, details)
+                done += chunk
+        for _ in range(done, n_rows):
+            counter, loss, details = step(
+                state.variables, data_state, rows_dev, counter, key,
+                jnp.float32(beta_kl), jnp.float32(epoch))
+            _acc(loss, details)
         # the pipeline drops the ragged tail batch; normalize by what we
         # actually scored so the loss stays an unbiased per-example mean
         n = rows_dev.shape[0] * pipeline.batch_size
