@@ -249,6 +249,21 @@ def measure_msf_epoch() -> dict:
     return row
 
 
+def measure_msf_epoch_chunked() -> dict:
+    """The same MSF epoch under the PRODUCTION dispatch recipe — lax.scan
+    chunks of 16 steps (train/loop.py steps_per_dispatch default; the
+    per-dispatch row above keeps the dispatch-latency-exposed variant for
+    the dispatch-bound comparison, docs/BENCH_NOTES.md round-4)."""
+    n_pairs = 100_000
+    steps = n_pairs // 128
+    row = measure_tpu_scan(msf_cfg(), "msf-jnf-epoch-chunked16", n_scan=16,
+                           chunks=steps // 16)
+    row["epoch_s"] = round(row["step_ms"] * steps / 1000, 1)
+    row["n_pairs"] = n_pairs
+    row["reference_gpu_epoch_s"] = 60.0
+    return row
+
+
 # ---------------------------------------------------------------------------
 # Torch CPU reference baseline (reference-style model + m_dreg_looser)
 # ---------------------------------------------------------------------------
@@ -464,6 +479,7 @@ def main():
         # iff this row matches the per-dispatch one (docs/BENCH_NOTES.md r4)
         rows.append(measure_tpu_scan(jnf_cfg(), "jnf-postwarmup-maf-scan16"))
         rows.append(measure_msf_epoch())
+        rows.append(measure_msf_epoch_chunked())
         with open(os.path.join(os.path.dirname(__file__),
                                "bench_details.json"), "w") as f:
             json.dump({"rows": rows, "baseline_cpu_torch_sps": baseline}, f,
