@@ -293,3 +293,43 @@ def test_steps_per_dispatch_fit_smoke(tmp_path):
     hist = trainer._history
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] < hist["train_loss"][0], hist
+
+
+def test_eval_chunk_matches_per_batch(tmp_path):
+    """device_eval_multi_step (scan chunk of val batches) must match the
+    per-batch eval counter path: same keys, same batches, summed loss to
+    fp-reassociation tolerance."""
+    from mmvae_tpu.data.device_pipeline import DeviceDataPipeline
+
+    cfg = ExperimentConfig(
+        model="circles_squares", obj="dreg", looser=True, K=3,
+        dist="normal", recon_losses=("normal", "normal"), latent_dim=2,
+        batch_size=8, learning_rate=1e-3, epochs=1, warmup=0,
+    )
+    bundle = registry.build(cfg)
+    trainer = Trainer(bundle.model, bundle.spec, cfg)
+    rng = np.random.default_rng(1)
+    base = [(rng.uniform(size=(64,) + s) * 255).astype(np.uint8)
+            for s in bundle.shape_mods]
+    idx = [rng.integers(0, 64, 32).astype(np.int32) for _ in base]
+    pipeline = DeviceDataPipeline(base, idx, 8, shuffle=False)
+    rows_all = jax.numpy.stack(list(pipeline.epoch_index_batches()))  # (4, 8)
+    key = jax.random.PRNGKey(7)
+    gather = jax.jit(pipeline.gather_fn())
+    xs0 = [np.asarray(x) for x in gather(rows_all[0], pipeline.data_state)]
+    variables = trainer.init_variables(xs0, key)
+
+    step = trainer.device_eval_counter_step(True, pipeline)
+    c = jax.numpy.int32(0)
+    per_batch = 0.0
+    for _ in range(4):
+        c, loss, _ = step(variables, pipeline.data_state, rows_all, c, key,
+                          jax.numpy.float32(1.0), jax.numpy.float32(1.0))
+        per_batch += float(loss)
+
+    mstep = trainer.device_eval_multi_step(True, pipeline, 4)
+    c4, loss4, _ = mstep(variables, pipeline.data_state, rows_all,
+                         jax.numpy.int32(0), key, jax.numpy.float32(1.0),
+                         jax.numpy.float32(1.0))
+    assert int(c4) == 4
+    np.testing.assert_allclose(float(loss4), per_batch, rtol=1e-5)
