@@ -38,6 +38,10 @@ def main(argv=None):
                         "confound ceiling (hard-grid calibration knob, "
                         "docs/QUALITY.md); match the downstream model's "
                         "`confound_max` config key")
+    parser.add_argument("--fold", type=float, default=0.0,
+                        help="non-convex sin-fold of the synthetic stand-in "
+                        "manifold (data/synthetic.py); match the downstream "
+                        "model's `fold` config key")
     parser.add_argument("--out", type=str, default="../experiments/dcca")
     parser.add_argument("--platform", type=str, default="cpu",
                         help="cpu = reference-parity float64 eigh loss; any "
@@ -67,6 +71,8 @@ def main(argv=None):
         extra["difficulty"] = info.difficulty
     if info.confound_max is not None:
         extra["confound_max"] = info.confound_max
+    if info.fold:
+        extra["fold"] = info.fold
     train_l, test_l, val_l = get_dataloaders(
         info.dataset, batch_size=info.batch_size, data_path=info.data_path,
         **extra)

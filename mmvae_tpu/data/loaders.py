@@ -217,25 +217,30 @@ def _paired_from_sources(mods_train, mods_test, max_d, dm, len_train, batch_size
 
 def mnist_svhn(data_path: str = "../data", batch_size: int = 128, shuffle: bool = True,
                len_train: Optional[int] = None, synthetic_n: int = 4096,
-               difficulty: float = 0.0, confound_max: Optional[float] = None):
+               difficulty: float = 0.0, confound_max: Optional[float] = None,
+               fold: float = 0.0):
     """MNIST_SVHN_DL (dataloaders.py:239-290). Uses raw files when present,
     synthetic class-structured stand-ins otherwise. confound_max overrides
     the difficulty-derived cross-class confound ceiling (hard-grid knob,
-    calibrated in docs/QUALITY.md)."""
+    calibrated in docs/QUALITY.md); fold adds the non-convex sin-fold to
+    the stand-in manifold (synthetic.py — the r5 knob that makes the
+    published rising n_made coherence curve reproducible)."""
     m_tr = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, True), (1, 28, 28), synthetic_n,
-        1, proto_seed=1, difficulty=difficulty, confound_max=confound_max)
+        1, proto_seed=1, difficulty=difficulty, confound_max=confound_max,
+        fold=fold)
     m_te = sources.load_or_synthesize(
         lambda: sources.load_mnist(data_path, False), (1, 28, 28),
         synthetic_n // 4, 2, proto_seed=1, difficulty=difficulty,
-        confound_max=confound_max)
+        confound_max=confound_max, fold=fold)
     s_tr = sources.load_or_synthesize(
         lambda: sources.load_svhn(data_path, True), (3, 32, 32), synthetic_n,
-        3, proto_seed=3, difficulty=difficulty, confound_max=confound_max)
+        3, proto_seed=3, difficulty=difficulty, confound_max=confound_max,
+        fold=fold)
     s_te = sources.load_or_synthesize(
         lambda: sources.load_svhn(data_path, False), (3, 32, 32),
         synthetic_n // 4, 4, proto_seed=3, difficulty=difficulty,
-        confound_max=confound_max)
+        confound_max=confound_max, fold=fold)
     return _paired_from_sources(
         [m_tr[:2], s_tr[:2]], [m_te[:2], s_te[:2]],
         max_d=10000, dm=5, len_train=len_train,

@@ -143,7 +143,7 @@ def require_real() -> bool:
 
 def load_or_synthesize(loader_fn, fallback_shape, n_fallback: int, seed: int,
                        proto_seed: int = None, difficulty: float = 0.0,
-                       confound_max: float = None):
+                       confound_max: float = None, fold: float = 0.0):
     """Try a raw loader; on FileNotFoundError return synthetic stand-ins.
 
     proto_seed (see synthetic_labeled_images): one value per synthetic
@@ -161,5 +161,5 @@ def load_or_synthesize(loader_fn, fallback_shape, n_fallback: int, seed: int,
         d = synthetic_labeled_images(n_fallback, fallback_shape, seed=seed,
                                      proto_seed=proto_seed,
                                      difficulty=difficulty,
-                                     confound_max=confound_max)
+                                     confound_max=confound_max, fold=fold)
         return d["images"], d["labels"], False

