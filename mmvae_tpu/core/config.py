@@ -34,6 +34,11 @@ class ExperimentConfig:
     no_nf: bool = True
     flow: str = "maf"
     n_made_blocks: Optional[int] = None
+    # opt-in bounded flow log-scale s -> b*tanh(s/b) (0 = reference-exact
+    # unbounded head, made_model.py:97-111; see flows/autoregressive.py —
+    # fixes the late-training (v-mu)*exp(-s) overflow that NaN'd the
+    # MedMNIST JNF recipe at epoch 92 in both this repo and the reference)
+    s_bound_flow: float = 0.0
     dcca: bool = False
     dim_dcca: int = 16
     learn_prior: bool = False

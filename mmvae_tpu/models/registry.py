@@ -57,7 +57,8 @@ def _flow(cfg: ExperimentConfig, name: str):
         return LinearNF(features=cfg.latent_dim, name=name)
     n_blocks = cfg.n_made_blocks if cfg.n_made_blocks is not None else 2
     flow_cls = IAF if cfg.flow == "iaf" else MAF
-    return flow_cls(features=cfg.latent_dim, n_made_blocks=n_blocks, name=name)
+    return flow_cls(features=cfg.latent_dim, n_made_blocks=n_blocks,
+                    s_bound=cfg.s_bound_flow, name=name)
 
 
 def _vae(cfg, encoder, decoder, name, posterior=None, with_flow=False):

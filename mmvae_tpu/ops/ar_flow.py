@@ -31,7 +31,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(n_hidden: int, features: int, sign: int):
+def _make_kernel(n_hidden: int, features: int, sign: int, s_bound: float):
     def kernel(*refs):
         # refs: xT, wT_0, bT_0, ..., wT_n, bT_n, yT_out, ld_out
         x_ref = refs[0]
@@ -59,6 +59,8 @@ def _make_kernel(n_hidden: int, features: int, sign: int):
                 + blist[n_hidden]  # (2D, tile)
             mu_i = o[i, :]
             s_i = o[i + features, :]
+            if s_bound > 0.0:  # bounded log-scale (flows/autoregressive.py)
+                s_i = s_bound * jnp.tanh(s_i / s_bound)
             x_i = x[i, :]
             if sign < 0:  # IAF density dir: y_i = (x_i - mu_i) * exp(-s_i)
                 y_i = (x_i - mu_i) * jnp.exp(-s_i)
@@ -71,7 +73,8 @@ def _make_kernel(n_hidden: int, features: int, sign: int):
     return kernel
 
 
-def _pallas_solve(x, masked_weights, biases, sign: int, interpret: bool):
+def _pallas_solve(x, masked_weights, biases, sign: int, interpret: bool,
+                  s_bound: float = 0.0):
     """x: (B, D). weights[li]: (in, out) as used by `h @ W`; transposed to
     (out, in) feature-major inside. Returns (y (B, D), ld (B,))."""
     from jax.experimental import pallas as pl
@@ -91,7 +94,7 @@ def _pallas_solve(x, masked_weights, biases, sign: int, interpret: bool):
         in_specs.append(pl.BlockSpec((bia.shape[-1], 1), lambda i: (0, 0)))
 
     yt, ld = pl.pallas_call(
-        _make_kernel(n_hidden, d, sign),
+        _make_kernel(n_hidden, d, sign, s_bound),
         grid=(b_pad // tile_b,),
         in_specs=in_specs,
         out_specs=[
@@ -107,7 +110,7 @@ def _pallas_solve(x, masked_weights, biases, sign: int, interpret: bool):
     return yt.T[:b], ld[0, :b]
 
 
-def unrolled_solve(x, masked_weights, biases, sign: int):
+def unrolled_solve(x, masked_weights, biases, sign: int, s_bound: float = 0.0):
     """Differentiable reference implementation (identical math to
     flows/autoregressive._sequential_shift_scale); used for the VJP and as
     the numerical oracle in tests."""
@@ -121,6 +124,8 @@ def unrolled_solve(x, masked_weights, biases, sign: int):
             h = jnp.maximum(h @ masked_weights[li] + biases[li], 0.0)
         o = h @ masked_weights[n_hidden] + biases[n_hidden]
         mu_i, s_i = o[..., i], o[..., i + d]
+        if s_bound > 0.0:
+            s_i = s_bound * jnp.tanh(s_i / s_bound)
         if sign < 0:
             y_i = (x[..., i] - mu_i) * jnp.exp(-s_i)
         else:
@@ -130,26 +135,28 @@ def unrolled_solve(x, masked_weights, biases, sign: int):
     return y, ld
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def ar_solve(x, masked_weights, biases, sign: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ar_solve(x, masked_weights, biases, sign: int, s_bound: float = 0.0):
     """Fused autoregressive solve: sign=-1 IAF density dir, sign=+1 MAF
-    sampling dir. x: (..., D). Returns (y, logdet)."""
+    sampling dir. x: (..., D). Returns (y, logdet). s_bound > 0 enables the
+    bounded log-scale variant (flows/autoregressive._ARFlowBase.s_bound)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     interpret = jax.default_backend() != "tpu"
-    y, ld = _pallas_solve(x2, list(masked_weights), list(biases), sign, interpret)
+    y, ld = _pallas_solve(x2, list(masked_weights), list(biases), sign,
+                          interpret, s_bound)
     return y.reshape(*lead, -1), ld.reshape(lead)
 
 
-def _ar_solve_fwd(x, masked_weights, biases, sign):
-    out = ar_solve(x, masked_weights, biases, sign)
+def _ar_solve_fwd(x, masked_weights, biases, sign, s_bound):
+    out = ar_solve(x, masked_weights, biases, sign, s_bound)
     return out, (x, tuple(masked_weights), tuple(biases))
 
 
-def _ar_solve_bwd(sign, res, cts):
+def _ar_solve_bwd(sign, s_bound, res, cts):
     x, masked_weights, biases = res
     _, vjp = jax.vjp(
-        lambda xx, ww, bb: unrolled_solve(xx, list(ww), list(bb), sign),
+        lambda xx, ww, bb: unrolled_solve(xx, list(ww), list(bb), sign, s_bound),
         x, masked_weights, biases,
     )
     gx, gw, gb = vjp(cts)
