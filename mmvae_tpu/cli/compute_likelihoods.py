@@ -35,6 +35,11 @@ def main(argv=None):
                         help="also compute the ln p(x|y) = joint_ll_from_uni"
                         " - uni_from_prior protocol (multi_vaes.py:253-268)"
                         " for every ordered pair and model family")
+    parser.add_argument("--steps-per-dispatch", type=int, default=16,
+                        help="test batches per device dispatch (lax.map "
+                        "chunking, mirrors the train loop's "
+                        "steps_per_dispatch; 1 = legacy per-batch path). "
+                        "Key-identical to per-batch by construction.")
     parser.add_argument("--platform", type=str, default=None)
     info = parser.parse_args(argv)
     if info.platform:
@@ -71,46 +76,91 @@ def main(argv=None):
     else:
         joint_fn = None
 
+    use_bis = info.bis
+    if use_bis:
+        try:
+            L.joint_ll_from_uni_for(bundle.model)
+        except NotImplementedError as e:
+            # MMVAE_NF: the reference's own estimator is an
+            # unimplemented stub (mmvae_nf.py:85-89) — skip, don't die
+            print(f"bis protocol unavailable: {e}")
+            use_bis = False
+
+    # materialize the per-repeat batch list once: (original position bi, xs)
+    batches = []
+    for bi, (xs, _) in enumerate(test_l):
+        if info.max_batches and bi >= info.max_batches:
+            break
+        if info.n_data != "all":
+            xs = [x[: int(info.n_data)] for x in xs]
+        batches.append((bi, [jnp.asarray(x) for x in xs]))
+
+    def per_batch_metrics(xs, kb):
+        metrics = L.compute_conditional_likelihoods(
+            bundle.model, variables, xs, bundle.spec, kb,
+            K=info.k, batch_size_K=info.batch_size_k)
+        if joint_fn is not None:
+            metrics.update(joint_fn(
+                bundle.model, variables, xs, bundle.spec,
+                jax.random.fold_in(kb, 999),
+                K=info.k, batch_size_K=info.batch_size_k))
+        if use_bis:
+            metrics.update(L.compute_conditional_likelihoods_bis(
+                bundle.model, variables, xs, bundle.spec,
+                jax.random.fold_in(kb, 998),
+                K=info.k, batch_size_K=info.batch_size_k))
+        return metrics
+
+    # scan-chunk groups of uniform-size batches (VERDICT r4 weak#3): S
+    # batches per dispatch; raggeds (the final short batch) fall back to the
+    # per-batch path with their original bi so the per-batch keys are
+    # identical to --steps-per-dispatch 1 (values then agree to f32
+    # round-off; XLA may fuse the scanned program differently)
+    S = max(1, info.steps_per_dispatch)
+    full_bs = batches[0][1][0].shape[0] if batches else 0
+    chunks, singles, run = [], [], []
+    for bi, xs in batches:
+        if S > 1 and xs[0].shape[0] == full_bs:
+            run.append((bi, xs))
+            if len(run) == S:
+                chunks.append(run)
+                run = []
+        else:
+            singles.append((bi, xs))
+    singles += run  # leftover (< S) full batches: per-batch path
+
     all_metrics = []
     for r in range(info.repeats):
         kr = jax.random.fold_in(key, r)
         # full-test-set loop: per-batch metrics averaged within the repeat
         # (compute_likelihoods.py:102-107 + get_mean_std)
         batch_metrics: dict = {}
-        for bi, (xs, _) in enumerate(test_l):
-            if info.max_batches and bi >= info.max_batches:
-                break
+        for chunk in chunks:
+            stacked = [jnp.stack([xs[m] for _, xs in chunk])
+                       for m in range(len(chunk[0][1]))]
+            bis_idx = jnp.asarray([bi for bi, _ in chunk], dtype=jnp.int32)
+            out = L.protocol_chunked(
+                bundle.model, variables, bundle.spec, stacked, bis_idx, kr,
+                K=info.k, batch_size_K=info.batch_size_k,
+                joint_fn=joint_fn, bis=use_bis)
+            for k2, vs in out.items():
+                for (bi, _), v in zip(chunk, np.asarray(vs)):
+                    batch_metrics.setdefault(k2, []).append(
+                        (bi, float(v), full_bs))
+        for bi, xs in singles:
             kb = jax.random.fold_in(kr, bi)
-            if info.n_data != "all":
-                xs = [x[: int(info.n_data)] for x in xs]
-            xs = [jnp.asarray(x) for x in xs]
-            metrics = L.compute_conditional_likelihoods(
-                bundle.model, variables, xs, bundle.spec, kb,
-                K=info.k, batch_size_K=info.batch_size_k)
-            if joint_fn is not None:
-                metrics.update(joint_fn(
-                    bundle.model, variables, xs, bundle.spec,
-                    jax.random.fold_in(kb, 999),
-                    K=info.k, batch_size_K=info.batch_size_k))
-            if info.bis:
-                try:
-                    metrics.update(L.compute_conditional_likelihoods_bis(
-                        bundle.model, variables, xs, bundle.spec,
-                        jax.random.fold_in(kb, 998),
-                        K=info.k, batch_size_K=info.batch_size_k))
-                except NotImplementedError as e:
-                    # MMVAE_NF: the reference's own estimator is an
-                    # unimplemented stub (mmvae_nf.py:85-89) — skip, don't die
-                    if r == 0 and bi == 0:
-                        print(f"bis protocol unavailable: {e}")
+            metrics = per_batch_metrics(xs, kb)
             w = xs[0].shape[0]
             for k2, v in metrics.items():
-                batch_metrics.setdefault(k2, []).append((v, w))
+                batch_metrics.setdefault(k2, []).append((bi, v, w))
         # weight per-batch means by batch size: a ragged final test batch
         # must not count as much as a full one (validate.py:111-116 scores
-        # every datapoint equally)
+        # every datapoint equally). Sorted by original batch position so the
+        # float accumulation ORDER matches the per-batch path regardless of
+        # chunk partitioning.
         metrics = {
-            k2: float(sum(v * w for v, w in vw) / sum(w for _, w in vw))
+            k2: float(sum(v * w for _, v, w in sorted(vw))
+                      / sum(w for _, _, w in vw))
             for k2, vw in batch_metrics.items()
         }
         all_metrics.append(metrics)
