@@ -6,6 +6,10 @@ instead of hard-coded arrays.
 Usage:
   python -m mmvae_tpu.cli.plot_results --runs runA runB --metric acc_0_1 \
       --labels "1 made" "2 made" --out ablation.png
+  python -m mmvae_tpu.cli.plot_results --runs runA runB --prd-curves \
+      --direction 0 --out prds.png     # overlay stored PRD curves
+      (analysis/plot_prds_from_utils.py: each run's prd_curve_<dir>.npz,
+      written by `validate --prd`, drawn on one precision/recall figure)
 """
 
 from __future__ import annotations
@@ -24,7 +28,31 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="plot.png")
     parser.add_argument("--losses", action="store_true",
                         help="plot losses.json training curves instead")
+    parser.add_argument("--prd-curves", action="store_true",
+                        help="overlay the runs' stored PRD curves "
+                        "(prd_curve_<direction>.npz from validate --prd; "
+                        "analysis/plot_prds_from_utils.py figure)")
+    parser.add_argument("--direction", type=str, default="0",
+                        help="PRD direction suffix: the <dir> in "
+                        "prd_curve_<dir>.npz (fid-key naming: bimodal "
+                        "'0'/'1', trimodal 'src_tgt')")
     info = parser.parse_args(argv)
+
+    if info.prd_curves:
+        import numpy as np
+
+        from ..eval.prd import plot_prd_curves
+
+        labels = info.labels or [os.path.basename(r.rstrip("/"))
+                                 for r in info.runs]
+        curves = []
+        for run, lab in zip(info.runs, labels):
+            d = np.load(os.path.join(run,
+                                     f"prd_curve_{info.direction}.npz"))
+            curves.append((lab, d["precision"], d["recall"]))
+        plot_prd_curves(curves, info.out)
+        print("wrote", info.out)
+        return
 
     import matplotlib
 

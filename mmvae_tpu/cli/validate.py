@@ -146,7 +146,8 @@ def main(argv=None):
                 metrics.update(cross_modal_fid(
                     bundle.model, variables, test_l, bundle.spec, kr,
                     encoder_fn, n_batches=info.fid_batches or None,
-                    verbose=(r == 0), compute_prd=info.prd))
+                    verbose=(r == 0), compute_prd=info.prd,
+                    prd_curve_dir=run_path if r == 0 else None))
             all_metrics.append(metrics)
             print(f"repeat {r}: {metrics}")
             continue
@@ -209,7 +210,8 @@ def main(argv=None):
             metrics.update(cross_modal_fid(
                 bundle.model, variables, test_l, bundle.spec, kr,
                 encoder_fn, n_batches=info.fid_batches or None,
-                verbose=(r == 0), compute_prd=info.prd))
+                verbose=(r == 0), compute_prd=info.prd,
+                prd_curve_dir=run_path if r == 0 else None))
         all_metrics.append(metrics)
         print(f"repeat {r}: {metrics}")
 

@@ -16,6 +16,7 @@ Components:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -376,7 +377,8 @@ def make_inception_fn(weights_path: Optional[str] = None, batch: int = 64):
 
 def cross_modal_fid(model, variables, loader, spec, key,
                     encoder_fn: Callable, n_batches: Optional[int] = None,
-                    verbose: bool = False, compute_prd: bool = False):
+                    verbose: bool = False, compute_prd: bool = False,
+                    prd_curve_dir: Optional[str] = None):
     """Conditional FID over ALL ordered cross pairs: reference activations
     of real test data vs activations of samples generated from each other
     modality.
@@ -392,7 +394,9 @@ def cross_modal_fid(model, variables, loader, spec, key,
 
     compute_prd additionally emits ``prd_f8[_...]`` / ``prd_f1_8[_...]``
     per direction from the same activations (prd_score.py:139,
-    plot_prds_from_utils.py protocol).
+    plot_prds_from_utils.py protocol); with prd_curve_dir set, the full
+    (precision, recall) arrays are saved as prd_curve_<dir>.npz and the
+    curve figure as prd_curve_<dir>.png (prd_score.py:177-228 plot).
 
     encoder_fn may be ONE callable (the Inception network — resizes any
     modality to 299x299) or a LIST of per-modality callables (custom
@@ -454,5 +458,11 @@ def cross_modal_fid(model, variables, loader, spec, key,
             f8, f18 = prd.prd_to_max_f_beta_pair(precision, recall)
             fids[f"prd_f8_{keysuf}"] = float(f8)
             fids[f"prd_f1_8_{keysuf}"] = float(f18)
+            if prd_curve_dir:
+                os.makedirs(prd_curve_dir, exist_ok=True)
+                base = os.path.join(prd_curve_dir, f"prd_curve_{keysuf}")
+                np.savez(base + ".npz", precision=precision, recall=recall)
+                prd.plot_prd_curves([(f"F8={f8:.3f} F1/8={f18:.3f}",
+                                      precision, recall)], base + ".png")
             _mark(f"prd {keysuf}")
     return fids

@@ -70,3 +70,33 @@ def prd_to_max_f_beta_pair(precision, recall, beta: float = 8):
     f_beta = np.max(_prd_to_f_beta(precision, recall, beta))
     f_beta_inv = np.max(_prd_to_f_beta(precision, recall, 1.0 / beta))
     return f_beta, f_beta_inv
+
+
+def plot_prd_curves(curves, out_path: str = None):
+    """Render PRD curves (prd_score.py:177-228 `plot` helper): recall on x,
+    precision on y, square [0,1] axes. `curves` is a dict label ->
+    (precision, recall) or a list of (label, precision, recall) tuples.
+    Returns the matplotlib figure (saved to out_path when given)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if isinstance(curves, dict):
+        curves = [(lab, p, r) for lab, (p, r) in curves.items()]
+    fig = plt.figure(figsize=(3.5, 3.5), dpi=150)
+    plot_handle = fig.add_subplot(111)
+    plot_handle.tick_params(axis="both", which="major", labelsize=12)
+    for label, precision, recall in curves:
+        plt.plot(recall, precision, label=label, alpha=0.5, linewidth=3)
+    if len(curves) > 1 or (curves and curves[0][0]):
+        plt.legend(loc="lower left", fontsize=9)
+    plt.xlim([0, 1])
+    plt.ylim([0, 1])
+    plt.xlabel("Recall", fontsize=12)
+    plt.ylabel("Precision", fontsize=12)
+    plt.tight_layout()
+    if out_path:
+        plt.savefig(out_path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+    return fig
