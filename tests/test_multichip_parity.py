@@ -181,3 +181,62 @@ def test_eval_coherence_batch_under_mesh():
     for k in plain:
         np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5,
                                    err_msg=k)
+
+
+def test_hmc_poe_subset_under_mesh():
+    """HMC PoE-subset sampling (jmvae_nf.py:332-437) with datapoints
+    sharded over 'data' must reproduce the unsharded chain exactly (same
+    key -> same leapfrog trajectory; VERDICT r4 missing#4)."""
+    from mmvae_tpu.eval.hmc import sample_from_poe_subset
+
+    cfg = _cfg("jnf_postwarmup")
+    bundle = registry.build(cfg)
+    xs = _batch("jnf_postwarmup")
+    key = jax.random.PRNGKey(2)
+    mesh = make_mesh(n_data=4, n_k=2, devices=jax.devices()[:8])
+    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh)
+    variables = trainer.init_variables(xs, key)
+
+    run = jax.jit(lambda v, d, k: sample_from_poe_subset(
+        bundle.model, v, (0, 1), d, k, mcmc_steps=3,
+        return_acceptance=True))
+    z_plain, acc_plain = run(variables, [jnp.asarray(x) for x in xs], key)
+    z_shard, acc_shard = run(
+        variables, shard_batch(mesh, [jnp.asarray(x) for x in xs]), key)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_plain),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(acc_shard), float(acc_plain), atol=1e-6)
+
+
+def test_is_likelihoods_under_mesh():
+    """K=chunked IS estimators (multi_vaes.py:271-318, mmvae.py:121-177)
+    with datapoints sharded over 'data' must match the unsharded values
+    (VERDICT r4 missing#4)."""
+    from mmvae_tpu.eval import likelihoods as L
+
+    cfg = _cfg("mmvae_dreg")
+    bundle = registry.build(cfg)
+    xs = _batch("mmvae_dreg")
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh(n_data=4, n_k=2, devices=jax.devices()[:8])
+    trainer = Trainer(bundle.model, bundle.spec, cfg, mesh=mesh)
+    variables = trainer.init_variables(xs, key)
+
+    plain_xs = [jnp.asarray(x) for x in xs]
+    shard_xs = shard_batch(mesh, plain_xs)
+    m_plain, lls_plain = L.compute_conditional_likelihood(
+        bundle.model, variables, plain_xs, 0, 1, bundle.spec, key,
+        K=8, batch_size_K=4)
+    m_shard, lls_shard = L.compute_conditional_likelihood(
+        bundle.model, variables, shard_xs, 0, 1, bundle.spec, key,
+        K=8, batch_size_K=4)
+    np.testing.assert_allclose(np.asarray(lls_shard), np.asarray(lls_plain),
+                               rtol=1e-5)
+    j_plain = L.joint_likelihood_mmvae(
+        bundle.model, variables, plain_xs, bundle.spec, key,
+        K=8, batch_size_K=4)
+    j_shard = L.joint_likelihood_mmvae(
+        bundle.model, variables, shard_xs, bundle.spec, key,
+        K=8, batch_size_K=4)
+    np.testing.assert_allclose(j_shard["likelihood"], j_plain["likelihood"],
+                               rtol=1e-5)
