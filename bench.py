@@ -179,6 +179,19 @@ def measure_tpu_scan(cfg, label, n_scan: int = 16, chunks: int = 8,
         [next(it) for _ in range(n_scan)]))
     lr, one = jnp.float32(1e-3), jnp.float32(1.0)
     data_state = pipeline.data_state
+    # FLOPs of the scanned executable / n_scan (VERDICT r4 weak#5): the
+    # production-recipe rows carry the same accounting as per-dispatch rows
+    flops = None
+    try:
+        compiled = step.lower(variables, opt_state, data_state, rows, key,
+                              lr, one, one).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total = float(ca.get("flops", 0.0))
+        flops = (total / n_scan) or None
+    except Exception as e:  # cost_analysis can be backend-dependent
+        log(f"[{label}] cost_analysis unavailable: {e}")
     # compile + warm
     variables, opt_state, loss, _ = step(
         variables, opt_state, data_state, rows, key, lr, one, one)
@@ -195,7 +208,9 @@ def measure_tpu_scan(cfg, label, n_scan: int = 16, chunks: int = 8,
     dt_step = sorted(per_chunk)[1] / n_scan
     row = {"label": label, "sps": round(batch / dt_step, 1),
            "step_ms": round(1000 * dt_step, 3), "n_scan": n_scan,
-           "flops_per_step": None, "mfu": None}
+           "flops_per_step": flops,
+           "mfu": (round(flops / dt_step / V5E_PEAK_FLOPS, 4)
+                   if flops else None)}
     log(f"[{label}] scan{n_scan}: {row['step_ms']}ms/step -> "
         f"{row['sps']} paired samples/s")
     return row
@@ -411,13 +426,20 @@ def _supervised_rerun() -> None:
     measurement path is unchanged (MMVAE_BENCH_CHILD=1)."""
     import subprocess
 
-    for attempt in range(1, 4):
+    # escalating per-attempt timeouts (ADVICE r4): with the documented
+    # 2-3x tunnel timing fluctuation a fixed 1500s could kill a
+    # legitimately slow run on all 3 attempts — exactly the failure the
+    # watchdog exists to prevent. Env-overridable for outer wrappers.
+    timeouts = [int(t) for t in os.environ.get(
+        "MMVAE_BENCH_TIMEOUTS", "1500,2400,3600").split(",")]
+    for attempt in range(1, len(timeouts) + 1):
         env = dict(os.environ, MMVAE_BENCH_CHILD="1")
         try:
             p = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)]
                 + sys.argv[1:],
-                env=env, timeout=1500, stdout=subprocess.PIPE,
+                env=env, timeout=timeouts[attempt - 1],
+                stdout=subprocess.PIPE,
                 stderr=sys.stderr, text=True)
         except subprocess.TimeoutExpired:
             log(f"[bench] attempt {attempt} timed out (tunnel hang); "
@@ -430,7 +452,7 @@ def _supervised_rerun() -> None:
             return
         log(f"[bench] attempt {attempt} failed rc={p.returncode}")
         time.sleep(20)
-    log("[bench] giving up after 3 attempts")
+    log(f"[bench] giving up after {len(timeouts)} attempts")
     sys.exit(1)
 
 

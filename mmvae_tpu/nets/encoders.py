@@ -54,7 +54,10 @@ class DecoderMNIST(nn.Module):
                 ConvTranspose2d(f, 3, 2, padding=1, output_padding=1)(h), train
             )
         )
-        h = nn.sigmoid(ConvTranspose2d(self.n_channels, 3, 2, padding=1, output_padding=1)(h))
+        # head=True: the sigmoid output IS the reconstruction
+        # distribution's parameter — precision.py's 'distribution params
+        # stay f32' contract applies to likelihood heads too (ADVICE r4)
+        h = nn.sigmoid(ConvTranspose2d(self.n_channels, 3, 2, padding=1, output_padding=1, head=True)(h))
         return h.reshape(*lead, *h.shape[1:])
 
 
@@ -91,7 +94,8 @@ class DecoderSVHN(nn.Module):
         h = nn.relu(ConvTranspose2d(f * 4, 4, 1, padding=0)(h))   # 4x4
         h = nn.relu(ConvTranspose2d(f * 2, 4, 2, padding=1)(h))   # 8x8
         h = nn.relu(ConvTranspose2d(f, 4, 2, padding=1)(h))       # 16x16
-        h = nn.sigmoid(ConvTranspose2d(self.n_channels, 4, 2, padding=1)(h))  # 32x32
+        # head=True: likelihood-parameter layer stays f32 (ADVICE r4)
+        h = nn.sigmoid(ConvTranspose2d(self.n_channels, 4, 2, padding=1, head=True)(h))  # 32x32
         return h.reshape(*lead, *h.shape[1:])
 
 

@@ -72,7 +72,9 @@ class DecoderResNetAE(nn.Module):
         h = nn.relu(h)
         h = nn.relu(ConvTranspose2d(64, 3, 2, padding=1, output_padding=1)(h))
         h = nn.sigmoid(
-            ConvTranspose2d(self.n_channels, 3, 2, padding=1, output_padding=1)(h)
+            # head=True: likelihood-parameter layer stays f32 (ADVICE r4)
+            ConvTranspose2d(self.n_channels, 3, 2, padding=1, output_padding=1,
+                            head=True)(h)
         )
         return h.reshape(*lead, *h.shape[1:])
 

@@ -47,6 +47,9 @@ retry_tpu 2400 python -u -m mmvae_tpu.cli.validate \
   --model mmvae/mnist_svhn_synth_bf16 --experiments-dir "$EXP" --skip-fid \
   > /tmp/r4_bf16_validate.log 2>&1
 
-retry_tpu 2400 python -u bench.py > /tmp/r4_driver_bench.log 2>&1
+# bench.py's internal watchdog already retries (up to ~3*2500s with the
+# escalating timeouts); skip it under the outer wrapper so the two retry
+# layers don't multiply (ADVICE r4) — one attempt, generous outer bound
+retry_tpu 9000 env MMVAE_BENCH_CHILD=1 python -u bench.py > /tmp/r4_driver_bench.log 2>&1
 
 echo "r4_manual_tail: done"
