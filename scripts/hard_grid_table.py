@@ -5,6 +5,10 @@ n_made and dim_dcca tables in the reference's published-curve form
 (tests/ablation_n_made.py:8-13, tests/plot_dcca_size_graphs.py:8-12).
 
     python scripts/hard_grid_table.py [--experiments-dir /root/exp_r4_hard]
+    python scripts/hard_grid_table.py --suffix mnist_svhn_hard2 \
+        --experiments-dir /root/exp_r5_hard2          # r5 fold=2.0 grid
+    python scripts/hard_grid_table.py --cross-model \
+        --experiments-dir /root/exp_r5_hard2          # 7-family hard table
 """
 import argparse
 import glob
@@ -32,16 +36,46 @@ def latest_run(exp_dir, experiment):
     return runs[-1] if runs else None
 
 
+XM_ROWS = [
+    ("MMVAE (dreg-looser K=30)", "mmvae/mnist_svhn_hard"),
+    ("JNF-DCCA (r4 flagship)", "jmvae_nf_dcca/mnist_svhn_hard"),
+    ("MVAE (self_built)", "mvae/mnist_svhn_hard"),
+    ("MoE-PoE (beta_kl=20)", "moepoe/mnist_svhn_hard"),
+    ("MoE-PoE (beta_kl=1)", "moepoe/mnist_svhn_b1_hard"),
+    ("MMVAE-NF (elbo_nf)", "mmvae_nf/mnist_svhn_hard"),
+    ("TELBO-NF", "telbo/mnist_svhn_hard"),
+]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--experiments-dir", default="/root/exp_r4_hard")
+    ap.add_argument("--suffix", default="mnist_svhn_hard",
+                    help="experiment suffix: mnist_svhn_hard (r4, fold=0) "
+                    "or mnist_svhn_hard2 (r5, fold=2.0)")
+    ap.add_argument("--cross-model", action="store_true",
+                    help="print the 7-family hard cross-model table "
+                    "(VERDICT r4 missing#3) instead of the ablation grids")
+    ap.add_argument("--extra-dirs", nargs="*", default=[],
+                    help="additional experiments dirs searched (e.g. the "
+                    "r4 dir for the JNF-DCCA flagship row)")
     info = ap.parse_args()
-    for grid, rows in POINTS.items():
+    if info.cross_model:
+        points = {"model (config)": XM_ROWS}
+    else:
+        points = {g: [(lab, e.replace("mnist_svhn_hard", info.suffix))
+                      for lab, e in rows]
+                  for g, rows in POINTS.items()}
+    for grid, rows in points.items():
         print(f"\n| {grid} | final test loss | acc_0_1 (m->s) | "
               "acc_1_0 (s->m) | joint coherence |")
         print("|---|---|---|---|---|")
         for label, experiment in rows:
-            run = latest_run(info.experiments_dir, experiment)
+            run = None
+            for d in [info.experiments_dir] + list(info.extra_dirs):
+                run = latest_run(d, experiment)
+                if run:
+                    break
             if run is None or not os.path.exists(
                     os.path.join(run, "metrics.json")):
                 print(f"| {label} | (pending) | | | |")
