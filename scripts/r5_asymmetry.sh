@@ -32,4 +32,10 @@ for tag in bern lap; do
     --model "jmvae_nf_dcca_${tag}/mnist_svhn_hard" --experiments-dir "$EXP" \
     --repeats 2 --fid-encoder classifier --prd || fail=1
 done
+
+# PRD-curve figures for the r4 hard flagship itself (VERDICT r4 weak#4
+# done-criterion: curves in the run dir)
+retry_tpu python -u -m mmvae_tpu.cli.validate \
+  --model jmvae_nf_dcca/mnist_svhn_hard --experiments-dir /root/exp_r4_hard \
+  --repeats 2 --fid-encoder classifier --prd || fail=1
 exit $fail
