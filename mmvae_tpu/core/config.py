@@ -39,6 +39,11 @@ class ExperimentConfig:
     # fixes the late-training (v-mu)*exp(-s) overflow that NaN'd the
     # MedMNIST JNF recipe at epoch 92 in both this repo and the reference)
     s_bound_flow: float = 0.0
+    # opt-in global-norm gradient clipping (0 = reference-exact, none).
+    # The r5 root-cause of the late JNF MAF deaths: one huge-but-finite
+    # gradient step (which nan_guard rightly does not skip) launches the
+    # flow params into the overflow region (train/loop.py _make_tx note)
+    clip_grad_norm: float = 0.0
     dcca: bool = False
     dim_dcca: int = 16
     learn_prior: bool = False

@@ -82,6 +82,17 @@ class Trainer:
         # lr is applied manually in the step (traced scalar); the inner
         # transform runs at lr=1 (main.py:114-117, 243)
         inner = optax.amsgrad(1.0) if amsgrad else optax.adam(1.0)
+        clip = float(getattr(self.cfg, "clip_grad_norm", 0.0) or 0.0)
+        if clip > 0.0:
+            # Opt-in (0 = reference-exact, no clipping). Root-cause of the
+            # late JNF MAF deaths (r5, docs/BENCH_NOTES.md NaN-robustness):
+            # the flow-matching KLD has unbounded quadratic tails
+            # ((z0-mu)^2 * exp(-lv) after exp(-s) amplification); a single
+            # huge-but-FINITE gradient step — which nan_guard by design
+            # does not skip — launches params into the overflow region and
+            # every later forward is inf. Global-norm clipping bounds that
+            # one step; healthy steps are untouched.
+            inner = optax.chain(optax.clip_by_global_norm(clip), inner)
         return freezing.masked_optimizer(inner, params, frozen)
 
     def init_opt_state(self, variables, past_warmup: bool = False,
