@@ -77,23 +77,49 @@ def classifier_pool_dir(experiments_dir: str = "../experiments") -> str:
     return os.path.join(experiments_dir, "classifiers")
 
 
+def distribution_variant(cfg) -> str:
+    """Filename suffix identifying the SYNTHETIC data distribution the
+    eval classifiers were trained on.
+
+    The reference pretrains classifiers once per real dataset, so a
+    name-keyed pool is safe there. With the synthetic hardness knobs
+    (difficulty / confound_max / fold) the distribution varies per config;
+    a name-only pool silently reuses classifiers across distributions —
+    found in r5 when the hard2 (fold=2) grid's classifiers leaked into the
+    fold=0 cross-model and easy-MSF validates and scored them with a
+    systematically wrong class mapping. Real-data / easy-synthetic runs
+    keep the unsuffixed reference behavior."""
+    if cfg is None:
+        return ""
+    parts = []
+    vals = dict(getattr(cfg, "extra", {}) or {})
+    for k, tag in (("difficulty", "d"), ("confound_max", "c"), ("fold", "f")):
+        v = vals.get(k, getattr(cfg, k, None))
+        if v:
+            parts.append(f"{tag}{float(v):g}")
+    return ("_" + "_".join(parts)) if parts else ""
+
+
 def get_or_train_classifiers(bundle, loaders, experiments_dir: str,
-                             key, epochs: int = 2):
+                             key, epochs: int = 2, cfg=None):
     """Load pretrained eval classifiers from the shared pool, training and
     publishing them on first use (the reference pretrains via
     analysis/classifiers __main__ blocks and loads with load_pretrained_*,
-    e.g. classifier_mnist.py:51-64)."""
+    e.g. classifier_mnist.py:51-64). Pool entries are keyed by classifier
+    name PLUS the synthetic-distribution variant of `cfg` (see
+    distribution_variant)."""
     import numpy as np
 
     from ..eval import classifiers as C
 
     pool = classifier_pool_dir(experiments_dir)
+    variant = distribution_variant(cfg)
     train_loader = loaders[0]
     ds = train_loader.dataset
     fns = []
     for m, ck in enumerate(bundle.classifier_keys):
         arch = C.ARCHS[ck](num_attrs=40) if ck == "celeba_attr" else C.ARCHS[ck]()
-        path = os.path.join(pool, f"{ck}.msgpack")
+        path = os.path.join(pool, f"{ck}{variant}.msgpack")
         sample_shape = ds.modalities[m].shape[1:]
         try:
             variables = C.load_classifier(arch, sample_shape, path)

@@ -73,7 +73,8 @@ def main(argv=None):
         np.save(os.path.join(run_path, f"generated_modality_{i}.npy"), arr)
         np.save(os.path.join(pool, f"generated_modality_{i}.npy"), arr)
 
-    classifiers = get_or_train_classifiers(bundle, loaders, info.experiments_dir, key)
+    classifiers = get_or_train_classifiers(bundle, loaders, info.experiments_dir,
+                                           key, cfg=cfg)
     joint_acc = compute_joint_accuracy(classifiers, gen)
     print(f"joint coherence of GMM samples: {joint_acc:.4f}")
     return joint_acc

@@ -83,7 +83,7 @@ def main(argv=None):
     _mark("model reloaded")
     key = jax.random.PRNGKey(cfg.seed)
     classifiers = get_or_train_classifiers(bundle, (train_l, test_l, val_l),
-                                           info.experiments_dir, key)
+                                           info.experiments_dir, key, cfg=cfg)
     _mark("classifiers ready")
 
     if not info.skip_fid:

@@ -300,3 +300,24 @@ def test_use_gen_pipeline_len_train_reload(tmp_path):
                        "--experiments-dir", exp_dir])
     with open(os.path.join(run2, "args.json")) as f:
         assert json.load(f)["use_gen"] is True
+
+
+def test_classifier_pool_keyed_by_distribution():
+    """r5 bug fix: eval classifiers trained on one synthetic distribution
+    must not be silently reused for another. The pool filename carries the
+    difficulty/confound_max/fold variant of the run's config; real-data /
+    easy-synthetic configs keep the reference's unsuffixed pool name."""
+    from mmvae_tpu.cli.common import distribution_variant
+    from mmvae_tpu.core.config import ExperimentConfig
+
+    easy = ExperimentConfig()
+    assert distribution_variant(easy) == ""
+    assert distribution_variant(None) == ""
+    hard = ExperimentConfig()
+    hard.extra = {"difficulty": 0.55, "confound_max": 0.7}
+    assert distribution_variant(hard) == "_d0.55_c0.7"
+    hard2 = ExperimentConfig()
+    hard2.extra = {"difficulty": 0.55, "confound_max": 0.7, "fold": 2.0}
+    assert distribution_variant(hard2) == "_d0.55_c0.7_f2"
+    # distinct distributions -> distinct pool entries
+    assert distribution_variant(hard) != distribution_variant(hard2)
