@@ -179,8 +179,11 @@ def measure_tpu_scan(cfg, label, n_scan: int = 16, chunks: int = 8,
         [next(it) for _ in range(n_scan)]))
     lr, one = jnp.float32(1e-3), jnp.float32(1.0)
     data_state = pipeline.data_state
-    # FLOPs of the scanned executable / n_scan (VERDICT r4 weak#5): the
-    # production-recipe rows carry the same accounting as per-dispatch rows
+    # FLOPs accounting for the scan rows (VERDICT r4 weak#5). XLA's
+    # cost_analysis counts a while-loop BODY once regardless of trip
+    # count (verified here: the scanned executable reports ~1x the
+    # per-dispatch row's flops, not n_scan x), so the reported total IS
+    # the per-step figure — no division.
     flops = None
     try:
         compiled = step.lower(variables, opt_state, data_state, rows, key,
@@ -188,8 +191,7 @@ def measure_tpu_scan(cfg, label, n_scan: int = 16, chunks: int = 8,
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        total = float(ca.get("flops", 0.0))
-        flops = (total / n_scan) or None
+        flops = float(ca.get("flops", 0.0)) or None
     except Exception as e:  # cost_analysis can be backend-dependent
         log(f"[{label}] cost_analysis unavailable: {e}")
     # compile + warm
