@@ -186,3 +186,63 @@ def test_confound_max_knob():
     a = np.asarray(tr_a.dataset.modalities[0][:8])
     b = np.asarray(tr_b.dataset.modalities[0][:8])
     assert np.abs(a - b).max() > 1e-3
+
+
+def test_fold_knob():
+    """Non-convex sin-fold knob (r5, VERDICT r4 missing#1; rebuilds the
+    regime of /root/reference/tests/ablation_n_made.py:8-13): fold=0 is
+    bit-identical to omitting the argument (legacy data unchanged), and
+    fold>0 reuses the same label/style/noise streams so the ONLY change
+    between the r4 falling and r5 rising n_made curves is manifold
+    convexity (the intervention claim in docs/QUALITY.md round-5)."""
+    from mmvae_tpu.data.synthetic import synthetic_labeled_images
+
+    kw = dict(seed=3, difficulty=0.55, confound_max=0.7)
+    legacy = synthetic_labeled_images(128, (1, 8, 8), **kw)
+    fold0 = synthetic_labeled_images(128, (1, 8, 8), fold=0.0, **kw)
+    np.testing.assert_array_equal(legacy["images"], fold0["images"])
+    np.testing.assert_array_equal(legacy["labels"], fold0["labels"])
+
+    folded = synthetic_labeled_images(128, (1, 8, 8), fold=2.0, **kw)
+    # fold applies elementwise to the mixture, drawing nothing from any
+    # rng stream: labels identical, images changed, range still (0,1)
+    np.testing.assert_array_equal(legacy["labels"], folded["labels"])
+    assert np.abs(legacy["images"] - folded["images"]).max() > 1e-3
+    assert folded["images"].min() > 0.0 and folded["images"].max() < 1.0
+
+    # the noise stream is shared: inverting the sigmoid and removing the
+    # shared noise must reproduce the folded mixture exactly (sin of the
+    # unfolded mixture, x1.5), i.e. fold changed no random draws
+    def logit(p):
+        return np.log(p) - np.log1p(-p)
+
+    pre_legacy = logit(legacy["images"].astype(np.float64))
+    pre_folded = logit(folded["images"].astype(np.float64))
+    noise = pre_legacy - _unfolded_mixture(kw)
+    np.testing.assert_allclose(
+        pre_folded - noise,
+        1.5 * np.sin(2.0 * _unfolded_mixture(kw)),
+        atol=1e-3)
+
+    # loader pass-through (configs forward extra keys by signature)
+    tr_a, _, _ = get_dataloaders("mnist_svhn", batch_size=16,
+                                 synthetic_n=128, difficulty=0.55)
+    tr_b, _, _ = get_dataloaders("mnist_svhn", batch_size=16,
+                                 synthetic_n=128, difficulty=0.55,
+                                 fold=2.0)
+    a = np.asarray(tr_a.dataset.modalities[0][:8])
+    b = np.asarray(tr_b.dataset.modalities[0][:8])
+    assert np.abs(a - b).max() > 1e-3
+
+
+def _unfolded_mixture(kw):
+    """The pre-noise class/style/confound mixture for test_fold_knob:
+    regenerate with noise_std=0 (same streams; the noise draw happens
+    after the fold point so zeroing its scale leaves the mixture)."""
+    from mmvae_tpu.data.synthetic import synthetic_labeled_images
+
+    def logit(p):
+        return np.log(p) - np.log1p(-p)
+
+    clean = synthetic_labeled_images(128, (1, 8, 8), noise_std=0.0, **kw)
+    return logit(clean["images"].astype(np.float64))
