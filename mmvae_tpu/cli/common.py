@@ -95,7 +95,11 @@ def distribution_variant(cfg) -> str:
     vals = dict(getattr(cfg, "extra", {}) or {})
     for k, tag in (("difficulty", "d"), ("confound_max", "c"), ("fold", "f")):
         v = vals.get(k, getattr(cfg, k, None))
-        if v:
+        # difficulty=0 / fold=0 ARE the legacy distribution (bit-identical
+        # generator paths), but confound_max=0.0 is NOT equivalent to an
+        # absent confound_max: the generator derives 0.9*difficulty when
+        # the key is missing, so an explicit 0.0 must key separately.
+        if v is not None and (v or k == "confound_max"):
             parts.append(f"{tag}{float(v):g}")
     return ("_" + "_".join(parts)) if parts else ""
 

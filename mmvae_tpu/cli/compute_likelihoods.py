@@ -129,16 +129,23 @@ def main(argv=None):
             singles.append((bi, xs))
     singles += run  # leftover (< S) full batches: per-batch path
 
+    # stacked inputs and batch-index arrays are repeat-invariant: build
+    # them once, not once per repeat (only the key kr varies below)
+    staged = [
+        ([jnp.stack([xs[m] for _, xs in chunk])
+          for m in range(len(chunk[0][1]))],
+         jnp.asarray([bi for bi, _ in chunk], dtype=jnp.int32),
+         chunk)
+        for chunk in chunks
+    ]
+
     all_metrics = []
     for r in range(info.repeats):
         kr = jax.random.fold_in(key, r)
         # full-test-set loop: per-batch metrics averaged within the repeat
         # (compute_likelihoods.py:102-107 + get_mean_std)
         batch_metrics: dict = {}
-        for chunk in chunks:
-            stacked = [jnp.stack([xs[m] for _, xs in chunk])
-                       for m in range(len(chunk[0][1]))]
-            bis_idx = jnp.asarray([bi for bi, _ in chunk], dtype=jnp.int32)
+        for stacked, bis_idx, chunk in staged:
             out = L.protocol_chunked(
                 bundle.model, variables, bundle.spec, stacked, bis_idx, kr,
                 K=info.k, batch_size_K=info.batch_size_k,

@@ -38,6 +38,12 @@ def main(argv=None):
                         "'0'/'1', trimodal 'src_tgt')")
     info = parser.parse_args(argv)
 
+    if info.labels and len(info.labels) != len(info.runs):
+        # zip() would silently drop the unlabeled tail runs from the figure
+        parser.error(f"--labels got {len(info.labels)} labels for "
+                     f"{len(info.runs)} runs (must match, or omit --labels "
+                     "to use run-dir basenames)")
+
     if info.prd_curves:
         import numpy as np
 

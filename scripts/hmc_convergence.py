@@ -41,7 +41,7 @@ def main():
     cfg, bundle, variables, loaders = reload_model(run_path, batch_size=500)
     key = jax.random.PRNGKey(cfg.seed)
     classifiers = get_or_train_classifiers(bundle, loaders,
-                                           info.experiments_dir, key)
+                                           info.experiments_dir, key, cfg=cfg)
     xs, labs = next(iter(loaders[1]))
     xs = [jax.numpy.asarray(x) for x in xs]
     labs = [np.asarray(l) for l in labs]

@@ -321,3 +321,12 @@ def test_classifier_pool_keyed_by_distribution():
     assert distribution_variant(hard2) == "_d0.55_c0.7_f2"
     # distinct distributions -> distinct pool entries
     assert distribution_variant(hard) != distribution_variant(hard2)
+    # explicit confound_max=0.0 is NOT the absent-key distribution (the
+    # generator derives 0.9*difficulty when the key is missing) — it must
+    # key separately; fold=0.0 / difficulty=0.0 ARE bit-identical legacy
+    c0 = ExperimentConfig()
+    c0.extra = {"difficulty": 0.55, "confound_max": 0.0}
+    assert distribution_variant(c0) == "_d0.55_c0"
+    legacy = ExperimentConfig()
+    legacy.extra = {"difficulty": 0.0, "fold": 0.0}
+    assert distribution_variant(legacy) == ""
